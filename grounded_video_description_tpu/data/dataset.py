@@ -1,0 +1,296 @@
+"""ActivityNet-Entities dataset ingest (host-side, pure NumPy).
+
+Capability contract from misc/dataloader_anet.py:27-358: per-segment
+examples assembled from
+  * `dic_anet.json` (vocab + splits), `cap_anet_*.json` (captions +
+    box annotations), the grounding reference json (timestamps),
+  * the proposal H5 (`dets_num`/`dets_labels`, loaded fully into RAM),
+  * per-segment region-feature `.npy` and per-video `_resnet.npy` /
+    `_bn.npy` frame features,
+padded to static shapes (max_proposal x 7 boxes, max_gt_box x 6,
+seq_length tokens, t_attn_size frames) — exactly the batch contract the
+model consumes.
+
+TPU-first design: no per-worker torch processes; a thread pool
+prefetches numpy batches while the previous step runs on device, and
+every batch has identical shapes so one XLA compilation serves all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from grounded_video_description_tpu.config import GVDConfig
+from grounded_video_description_tpu.data.vocab import VocabTables
+
+
+class AnetDataset:
+    def __init__(self, cfg: GVDConfig, split: str = "training",
+                 seq_per_img: Optional[int] = None):
+        self.cfg = cfg
+        self.split = split
+        self.seq_per_img = seq_per_img or cfg.seq_per_img
+        self.max_gt_box = cfg.max_gt_box
+        self.max_proposal = cfg.max_proposal
+        self.test_mode = cfg.test_mode
+
+        self.vocab = VocabTables.from_file(cfg.input_dic)
+        self.info = self.vocab.info
+
+        with open(cfg.input_json) as f:
+            self.caption_file = json.load(f)
+        with open(cfg.grd_reference) as f:
+            self.timestamp_file = json.load(f)
+
+        import h5py
+        with h5py.File(cfg.proposal_h5, "r") as h5:
+            self.num_proposals = h5["dets_num"][:]
+            self.label_proposals = h5["dets_labels"][:]
+
+        # split membership + feature-file existence filter
+        # (dataloader_anet.py:129-145)
+        self.split_ix: List[int] = []
+        self.num_seg_per_vid = defaultdict(list)
+        for ix, seg in enumerate(self.info["videos"]):
+            seg_id = seg["id"]
+            vid_id, seg_idx = seg_id.split("_segment_")
+            self.num_seg_per_vid[vid_id].append(int(seg_idx))
+            if seg["split"] != split:
+                continue
+            if (os.path.isfile(os.path.join(cfg.feature_root, seg_id + ".npy"))
+                    and os.path.isfile(os.path.join(
+                        cfg.seg_feature_root, vid_id[2:] + "_bn.npy"))):
+                self.split_ix.append(ix)
+        print(f"assigned {len(self.split_ix)} segments to split {split}")
+
+    def __len__(self) -> int:
+        return len(self.split_ix)
+
+    # ------------------------------------------------------------------ #
+
+    def _get_frm_mask(self, prop_frms: np.ndarray,
+                      gt_frms: np.ndarray) -> np.ndarray:
+        """(n_prop, n_box) True where on different frames
+        (dataloader_anet.py:168-173)."""
+        return prop_frms.reshape(-1, 1) != gt_frms.reshape(1, -1)
+
+    def __getitem__(self, index: int) -> Dict:
+        cfg = self.cfg
+        ix = self.split_ix[index]
+        seg_id = self.info["videos"][ix]["id"]
+        vid_id, seg_idx = seg_id.split("_segment_")
+        seg_idx = str(int(seg_idx))
+
+        num_proposal = int(self.num_proposals[ix])
+        proposals = np.array(self.label_proposals[ix][:num_proposal, :])
+
+        region_feature = np.load(
+            os.path.join(cfg.feature_root, seg_id + ".npy"))
+        region_feature = region_feature.reshape(
+            -1, region_feature.shape[2]).copy()
+        assert num_proposal == region_feature.shape[0]
+
+        pnt_mask = proposals[:, 6] <= cfg.prop_thresh
+        if cfg.exclude_bgd_det:
+            pnt_mask |= proposals[:, 5] == 0
+
+        seg_rgb = np.load(os.path.join(
+            cfg.seg_feature_root, vid_id[2:] + "_resnet.npy"))
+        seg_motion = np.load(os.path.join(
+            cfg.seg_feature_root, vid_id[2:] + "_bn.npy"))
+        seg_raw = np.concatenate((seg_rgb, seg_motion), axis=1)
+
+        ts_entry = self.timestamp_file["annotations"][vid_id]
+        timestamps = ts_entry["segments"][seg_idx]["timestamps"]
+        dur = ts_entry["duration"]
+        num_frm = seg_raw.shape[0]
+        sample_idx = np.array([
+            np.round(num_frm * timestamps[0] / dur),
+            np.round(num_frm * timestamps[1] / dur)])
+        sample_idx = np.clip(np.round(sample_idx), 0,
+                             cfg.t_attn_size).astype(int)
+        seg_feature = np.zeros((cfg.t_attn_size, seg_raw.shape[1]),
+                               np.float32)
+        seg_feature[:min(cfg.t_attn_size, num_frm)] = \
+            seg_raw[:cfg.t_attn_size]
+
+        caption = self.caption_file[vid_id]["segments"][seg_idx]
+
+        # box annotations within the caption length limit
+        # (dataloader_anet.py:215-248)
+        bbox_ann = []
+        bbox_idx = 0
+        for i, clss in enumerate(caption["clss"]):
+            for j, cls_name in enumerate(clss):
+                if caption["idx"][i][j] < cfg.seq_length:
+                    if self.test_mode:
+                        bbox_ann.append(dict(
+                            bbox=[0, 0, 0, 0], label=self.vocab.dtoi[cls_name],
+                            clss=cls_name, bbox_idx=bbox_idx,
+                            idx=caption["idx"][i][j], frm_idx=-1))
+                    else:
+                        bbox_ann.append(dict(
+                            bbox=caption["bbox"][i],
+                            label=self.vocab.dtoi[cls_name], clss=cls_name,
+                            bbox_idx=bbox_idx, idx=caption["idx"][i][j],
+                            frm_idx=caption["frm_idx"][i]))
+                    bbox_idx += 1
+        bbox_ann.sort(key=lambda x: x["idx"])
+
+        gt_bboxs = np.zeros((len(bbox_ann), 8))
+        for i, bb in enumerate(bbox_ann):
+            gt_bboxs[i, :4] = bb["bbox"]
+            gt_bboxs[i, 4] = bb["frm_idx"]
+            gt_bboxs[i, 5] = bb["label"]
+            gt_bboxs[i, 6] = bb["bbox_idx"]
+            gt_bboxs[i, 7] = bb["idx"]
+
+        if not self.test_mode:
+            gt_x = gt_bboxs[:, 2] - gt_bboxs[:, 0] + 1
+            gt_y = gt_bboxs[:, 3] - gt_bboxs[:, 1] + 1
+            gt_bboxs = gt_bboxs[(gt_x != 1) & (gt_y != 1)]
+
+        # which caption word is a detection word (dataloader_anet.py:147-166)
+        pcats = set(gt_bboxs[:, 6].tolist())
+        indicator = [(0, 0, 0)] * len(caption["caption"])
+        for bb in bbox_ann:
+            if bb["bbox_idx"] in pcats:
+                w_idx = bb["idx"]
+                bn = int(bb["clss"] != caption["caption"][w_idx]) + 1
+                indicator[w_idx] = (self.vocab.wtod[bb["clss"]], bn,
+                                    bb["label"])
+
+        Lq = cfg.seq_length
+        cap_seq = np.zeros((Lq, 5), np.int64)
+        words = caption["caption"]
+        for j in range(min(len(words), Lq)):
+            wid = int(self.vocab.wtoi[words[j]])
+            if indicator[j][0] != 0:
+                cap_seq[j, 0] = indicator[j][0] + self.vocab.vocab_size
+                cap_seq[j, 1] = indicator[j][1]
+                cap_seq[j, 2] = indicator[j][2]
+                cap_seq[j, 3] = wid
+                cap_seq[j, 4] = wid
+            else:
+                cap_seq[j, 0] = wid
+                cap_seq[j, 4] = wid
+
+        # GT box word-position mask (dataloader_anet.py:273-277)
+        box_mask = np.ones((gt_bboxs.shape[0], Lq), np.uint8)
+        for i in range(gt_bboxs.shape[0]):
+            box_mask[i, int(gt_bboxs[i, 7])] = 0
+
+        gt_bboxs = gt_bboxs[:, :6]
+
+        S = self.seq_per_img
+        input_seq = np.zeros((S, Lq + 1, 4), np.int64)
+        input_seq[:, 1:] = cap_seq[None, :, :4]
+        gt_seq = np.zeros((10, Lq), np.int64)
+        gt_seq[0] = cap_seq[:, 4]
+
+        # static-shape padding (dataloader_anet.py:317-348)
+        pad_proposals = np.zeros((self.max_proposal, 7), np.float32)
+        pad_pnt_mask = np.ones((self.max_proposal,), bool)
+        pad_gt_bboxs = np.zeros((self.max_gt_box, 6), np.float32)
+        pad_box_mask = np.ones((S, self.max_gt_box, Lq + 1), np.uint8)
+        pad_region_feature = np.zeros(
+            (self.max_proposal, cfg.att_feat_size), np.float32)
+        pad_frm_mask = np.ones((self.max_proposal, self.max_gt_box), bool)
+
+        num_box = min(gt_bboxs.shape[0], self.max_gt_box)
+        num_pps = min(proposals.shape[0], self.max_proposal)
+        pad_proposals[:num_pps] = proposals[:num_pps]
+        pad_pnt_mask[:num_pps] = pnt_mask[:num_pps]
+        pad_gt_bboxs[:num_box] = gt_bboxs[:num_box]
+        pad_box_mask[:, :num_box, 1:] = box_mask[None, :num_box, :]
+        pad_region_feature[:num_pps] = region_feature[:num_pps]
+        pad_frm_mask[:num_pps, :num_box] = self._get_frm_mask(
+            pad_proposals[:num_pps, 4], pad_gt_bboxs[:num_box, 4])
+
+        # zero masked proposals/features (dataloader_anet.py:343-344)
+        pad_proposals[pad_pnt_mask] = 0.0
+        pad_region_feature[pad_pnt_mask] = 0.0
+
+        num = np.array([1, num_pps, num_box, int(seg_idx),
+                        max(self.num_seg_per_vid[vid_id]) + 1,
+                        timestamps[0] / dur, timestamps[1] / dur],
+                       np.float32)
+
+        return {
+            "seg_feat": seg_feature,
+            "input_seq": input_seq,
+            "gt_seq": gt_seq,
+            "num": num,
+            "ppls": pad_proposals,
+            "gt_boxes": pad_gt_bboxs,
+            "mask_boxes": pad_box_mask.astype(bool),
+            "ppls_feat": pad_region_feature,
+            "frm_mask": pad_frm_mask,
+            "sample_idx": sample_idx.astype(np.int64),
+            "pnt_mask": np.concatenate([[False], pad_pnt_mask]),
+            "seg_id": seg_id,
+        }
+
+
+ARRAY_KEYS = ("seg_feat", "input_seq", "gt_seq", "num", "ppls", "gt_boxes",
+              "mask_boxes", "ppls_feat", "frm_mask", "sample_idx",
+              "pnt_mask")
+
+
+def collate(items: List[Dict]) -> Dict:
+    batch = {k: np.stack([it[k] for it in items]) for k in ARRAY_KEYS}
+    batch["seg_id"] = [it["seg_id"] for it in items]
+    return batch
+
+
+class Loader:
+    """Shuffling, prefetching batch iterator over a dataset with
+    __len__/__getitem__.  Drops the last partial batch in training so
+    every step has the same static shape (the reference iterates
+    len(dataloader)-1 for the same reason, main.py:210)."""
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool,
+                 seed: int = 0, drop_last: bool = True,
+                 num_threads: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        self.epoch += 1
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def worker():
+            for b in range(nb):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                q.put(collate([self.dataset[int(i)] for i in sel]))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

@@ -1,0 +1,135 @@
+"""Checkpoint / resume.
+
+Capability contract from main.py:620-652, 702-743: `model.pth` +
+`model-best.pth` equivalents saved every val epoch, best selected by
+CIDEr, `infos` metadata (iter/epoch/best_val_score/vocab) persisted
+alongside, resume restoring either latest or best.
+
+Implementation: Orbax for the parameter/optimizer pytrees (async-safe,
+sharding-aware on TPU) + a JSON sidecar for the scalar metadata
+(replacing the reference's pickled Namespace).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(path)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.dir = _abs(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------ #
+
+    def _save_tree(self, name: str, tree: Any):
+        path = os.path.join(self.dir, name)
+        self._ckptr.save(path, tree, force=True)
+        self._ckptr.wait_until_finished()
+
+    def _restore_tree(self, name: str, template: Any) -> Any:
+        path = os.path.join(self.dir, name)
+        return self._ckptr.restore(path, template)
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, state, infos: Dict, *, best: bool = False):
+        tree = {"params": state.params, "model_state": state.model_state,
+                "opt_state": state.opt_state}
+        self._save_tree("model", tree)
+        with open(os.path.join(self.dir, "infos.json"), "w") as f:
+            json.dump({**infos, "step": int(state.step)}, f)
+        if best:
+            self._save_tree("model-best", tree)
+            with open(os.path.join(self.dir, "infos-best.json"), "w") as f:
+                json.dump({**infos, "step": int(state.step)}, f)
+
+    def restore(self, state, *, load_best: bool = True
+                ) -> Tuple[Any, Dict]:
+        name = "model-best" if load_best and os.path.isdir(
+            os.path.join(self.dir, "model-best")) else "model"
+        template = {"params": state.params,
+                    "model_state": state.model_state,
+                    "opt_state": state.opt_state}
+        tree = self._restore_tree(name, template)
+        infos_file = os.path.join(
+            self.dir, "infos-best.json" if name == "model-best"
+            else "infos.json")
+        infos = {}
+        if os.path.isfile(infos_file):
+            with open(infos_file) as f:
+                infos = json.load(f)
+        from grounded_video_description_tpu.engine.trainer import TrainState
+        new_state = TrainState(
+            params=tree["params"], model_state=tree["model_state"],
+            opt_state=tree["opt_state"], step=infos.get("step", 0))
+        return new_state, infos
+
+
+def import_torch_checkpoint(path: str, params: Dict) -> Dict:
+    """Best-effort import of a reference `model.pth` state_dict into our
+    parameter tree (torch CPU is available in the image).  Covers the
+    shared-architecture layers; transposes Linear weights
+    (torch stores (out, in), we store (in, out))."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    out = jax.tree.map(np.array, params)
+
+    def put_linear(dst, prefix):
+        w = sd.get(prefix + ".weight")
+        if w is None:
+            return
+        dst["w"] = np.asarray(w).T
+        b = sd.get(prefix + ".bias")
+        if b is not None and "b" in dst:
+            dst["b"] = np.asarray(b)
+
+    put_linear(out["loc_fc"], "loc_fc.0")
+    put_linear(out["fc_embed"], "fc_embed.0")
+    put_linear(out["seg_info_embed"], "seg_info_embed.0")
+    put_linear(out["pool_embed"], "pool_embed.0")
+    put_linear(out["ctx2att"], "ctx2att")
+    put_linear(out["ctx2pool"], "ctx2pool")
+    put_linear(out["logit"], "logit")
+    put_linear(out["ctx2pool_grd"], "ctx2pool_grd.0")
+    put_linear(out["att_embed_rgb"], "att_embed.0.0")
+    put_linear(out["att_embed_motion"], "att_embed.1.0")
+    if "embed.0.weight" in sd:
+        out["embed"]["w"] = np.asarray(sd["embed.0.weight"])
+    if "vis_embed.0.weight" in sd:
+        out["vis_embed"]["w"] = np.asarray(sd["vis_embed.0.weight"])
+    if "vis_classifiers_bias" in sd and "vis_classifiers_bias" in out:
+        out["vis_classifiers_bias"] = np.asarray(sd["vis_classifiers_bias"])
+
+    # LSTM cells: torch keeps separate ih/hh biases; ours is fused
+    for ours, theirs in (("att_lstm", "core.att_lstm"),
+                         ("lang_lstm", "core.lang_lstm")):
+        wi = sd.get(theirs + ".weight_ih")
+        if wi is None:
+            continue
+        core = out["core"][ours]
+        core["wi"] = np.asarray(wi).T
+        core["wh"] = np.asarray(sd[theirs + ".weight_hh"]).T
+        core["b"] = (np.asarray(sd[theirs + ".bias_ih"])
+                     + np.asarray(sd[theirs + ".bias_hh"]))
+
+    put_linear(out["core"]["attn"]["h2att"], "core.attention.h2att")
+    put_linear(out["core"]["attn"]["alpha_net"], "core.attention.alpha_net")
+    put_linear(out["core"]["attn2"]["h2att"], "core.attention2.h2att")
+    if "core.attention2.alpha_net.weight" in sd \
+            and "alpha_net" in out["core"]["attn2"]:
+        put_linear(out["core"]["attn2"]["alpha_net"],
+                   "core.attention2.alpha_net")
+    return out

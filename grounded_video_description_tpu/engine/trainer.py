@@ -1,0 +1,176 @@
+"""Training engine.
+
+Capability contract from the reference driver (main.py:197-311,
+652-684): 4-loss weighted objective, global grad-norm clip 0.1,
+adam/sgd(momentum 0.9)/adamax, a 0.1x learning-rate parameter group for
+the transferred layers (`ctx2pool_grd`, `vis_embed`), and the
+multiply-by-0.8-every-3-epochs LR decay.
+
+TPU-native execution: one jitted train step (donated buffers) whose
+batch inputs are sharded over the mesh 'data' axis — XLA inserts the
+gradient all-reduce (psum) over ICI; there is no DataParallel
+scatter/gather and no host round-trip per step.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from grounded_video_description_tpu.config import GVDConfig
+from grounded_video_description_tpu import losses as L
+from grounded_video_description_tpu.models.gvd import GVDModel
+
+
+FINETUNE_KEYS = ("ctx2pool_grd", "vis_embed")
+
+
+@dataclass
+class TrainState:
+    params: Any
+    model_state: Any
+    opt_state: Any
+    step: int = 0
+
+
+def _finetune_mask(params) -> Any:
+    """True for params under the transferred layers (main.py:660-669)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_ft(path):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        return any(k in FINETUNE_KEYS for k in keys if isinstance(k, str))
+
+    paths = {jax.tree_util.keystr(p): is_ft(p) for p, _ in flat}
+
+    def mask_fn(params):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+        vals = [paths.get(jax.tree_util.keystr(p), False) for p, _ in leaves]
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    return mask_fn
+
+
+def make_optimizer(cfg: GVDConfig, params) -> optax.GradientTransformation:
+    """Base-LR-1.0 transform; the dynamic LR is applied in the step
+    (reference decays it across epochs, main.py:679-684)."""
+    if cfg.optim == "adam":
+        base = optax.scale_by_adam(b1=cfg.optim_alpha, b2=cfg.optim_beta,
+                                   eps=cfg.optim_epsilon)
+    elif cfg.optim == "sgd":
+        base = optax.trace(decay=0.9)
+    elif cfg.optim == "adamax":
+        base = optax.scale_by_adamax(b1=cfg.optim_alpha, b2=cfg.optim_beta,
+                                     eps=cfg.optim_epsilon)
+    else:
+        raise ValueError(f"unknown optim {cfg.optim!r}")
+
+    chain = [optax.clip_by_global_norm(cfg.grad_clip)]
+    if cfg.weight_decay:
+        # torch-style L2: added to the gradient before the moments
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(base)
+    if cfg.finetune_lr_scale != 1.0:
+        chain.append(optax.masked(
+            optax.scale(cfg.finetune_lr_scale), _finetune_mask(params)))
+    chain.append(optax.scale(-1.0))
+    return optax.chain(*chain)
+
+
+class Trainer:
+    def __init__(self, cfg: GVDConfig, model: Optional[GVDModel] = None,
+                 rng_seed: Optional[int] = None):
+        self.cfg = cfg
+        self.model = model or GVDModel(cfg)
+        seed = cfg.seed if rng_seed is None else rng_seed
+        self.rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, rng=None, params=None, model_state=None
+                   ) -> TrainState:
+        if params is None:
+            variables = self.model.init(rng if rng is not None else self.rng)
+            params = variables["params"]
+            model_state = variables["state"]
+        self.tx = make_optimizer(self.cfg, params)
+        return TrainState(params=params, model_state=model_state,
+                          opt_state=self.tx.init(params), step=0)
+
+    # ------------------------------------------------------------------ #
+
+    def loss_fn(self, params, model_state, batch, rng
+                ) -> Tuple[jnp.ndarray, Tuple[Dict, Any]]:
+        cfg = self.cfg
+        losses, new_state = self.model.forward(
+            {"params": params, "state": model_state}, batch,
+            mode="MLE", train=True, rng=rng)
+        loss = L.total_loss(
+            losses["lm_loss"], losses["att2_loss"], losses["ground_loss"],
+            losses["cls_loss"], w_att2=cfg.w_att2, w_grd=cfg.w_grd,
+            w_cls=cfg.w_cls, disable_caption=cfg.disable_caption)
+        return loss, (losses, new_state)
+
+    def make_train_step(self, donate: bool = True):
+        tx = self.tx
+
+        def train_step(params, model_state, opt_state, batch, rng, lr):
+            (loss, (losses, new_model_state)), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True)(params, model_state, batch, rng)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            new_params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss, **losses}
+            return new_params, new_model_state, new_opt_state, metrics
+
+        donate_argnums = (0, 1, 2) if donate else ()
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+
+    # ------------------------------------------------------------------ #
+
+    def lr_at_epoch(self, epoch: int) -> float:
+        """main.py:679-684: multiply by decay_rate every
+        `decay_every` epochs once past `decay_start`."""
+        cfg = self.cfg
+        lr = cfg.learning_rate
+        if cfg.learning_rate_decay_start >= 0:
+            for e in range(cfg.learning_rate_decay_start + 1, epoch + 1):
+                if (e - cfg.learning_rate_decay_start) \
+                        % cfg.learning_rate_decay_every == 0:
+                    lr *= cfg.learning_rate_decay_rate
+        return lr
+
+    # ------------------------------------------------------------------ #
+
+    def fit_epoch(self, state: TrainState, loader, epoch: int,
+                  log_fn=None) -> Tuple[TrainState, Dict]:
+        """One epoch over a host-side batch loader."""
+        step_fn = getattr(self, "_step_fn", None)
+        if step_fn is None:
+            step_fn = self._step_fn = self.make_train_step(
+                donate=self.cfg.donate_buffers)
+        lr = self.lr_at_epoch(epoch)
+        agg: Dict[str, float] = {}
+        n = 0
+        t0 = time.time()
+        for batch in loader:
+            batch = {k: v for k, v in batch.items() if k != "seg_id"}
+            self.rng, sub = jax.random.split(self.rng)
+            params, mstate, ostate, metrics = step_fn(
+                state.params, state.model_state, state.opt_state,
+                batch, sub, lr)
+            state = TrainState(params, mstate, ostate, state.step + 1)
+            n += 1
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            if log_fn and n % max(self.cfg.disp_interval, 1) == 0:
+                log_fn({"epoch": epoch, "step": state.step, "lr": lr,
+                        **{k: v / n for k, v in agg.items()},
+                        "time_per_batch": (time.time() - t0) / n})
+        return state, {k: v / max(n, 1) for k, v in agg.items()}

@@ -1,0 +1,158 @@
+"""Batched on-device beam search.
+
+Capability contract from misc/CaptionModelBU.py:24-185 — per-step beam
+fork by cumulative logprob, raw per-step logprob tracking, per-beam
+region-attention argmax tracking, finished-beam harvesting (EOS token 0
+or final step) with the finished beam's running score knocked to -1000,
+best-done-beam selection by cumulative score (model.py:738-740 takes
+done_beams[k][0]).
+
+Design differences (TPU-first, not a translation):
+  * the whole batch and all beams advance together in one `lax.scan` —
+    no per-item Python loop (model.py:708) and no per-token host sync
+    (CaptionModelBU.py:129 moved logprobs to CPU every step);
+  * candidate selection is a single global top-k over (beam x vocab),
+    mathematically identical to the reference's per-row sort + global
+    re-sort;
+  * the ROI re-use ban (CaptionModelBU.py:168-175) is provably a no-op
+    for this model family — the logit layer emits only indices
+    < vocab_size, so `roi_idx` is always negative and the mask write
+    degenerates to mask[0]=1 followed by mask[0]=0.  It is therefore
+    not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from grounded_video_description_tpu.nn import linear
+
+NEG_INF = -1e18
+FINISHED_SCORE = -1000.0
+
+
+def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
+                beta: float = 1.0
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (seq (B, L), seq_logprobs (B, L), att2_ind (B, L))."""
+    cfg = model.cfg
+    W = beam_size
+    Lq = cfg.seq_length
+    pnt_mask = enc["pnt_mask"]
+    B, Rp1 = pnt_mask.shape
+    R = Rp1 - 1
+    V = cfg.vocab_size
+
+    def exp(x):
+        return jnp.repeat(x, W, axis=0)
+
+    fc = exp(enc["fc_feats"])
+    conv = exp(enc["conv_feats"])
+    p_conv = exp(enc["p_conv_feats"])
+    pool = exp(enc["pool_feats"])
+    p_pool = exp(enc["p_pool_feats"])
+    mask = exp(pnt_mask)
+
+    def core(xt, state):
+        return model.core_step(
+            params["core"], xt, fc, conv, p_conv, pool, p_pool,
+            mask, mask, state, train=False)
+
+    # initial BOS step (model.py:723-733)
+    it0 = jnp.zeros((B * W,), jnp.int32)
+    xt0 = model.embed_words(params, it0, train=False)
+    rnn_out, state, att2_w, _ = core(xt0, model.init_state(B * W))
+    att2_first = jnp.argmax(att2_w.reshape(B, W, R)[:, 0], axis=-1)  # (B,)
+    att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
+
+    carry = dict(
+        state=state,
+        rnn_out=rnn_out,
+        att2_ind=att2_ind,
+        beam_seq=jnp.zeros((B, W, Lq), jnp.int32),
+        beam_lp=jnp.zeros((B, W, Lq), jnp.float32),
+        beam_att2=jnp.full((B, W, Lq), -1, jnp.int32),
+        beam_sum=jnp.zeros((B, W), jnp.float32),
+        best_score=jnp.full((B,), NEG_INF, jnp.float32),
+        best_seq=jnp.zeros((B, Lq), jnp.int32),
+        best_lp=jnp.zeros((B, Lq), jnp.float32),
+        best_att2=jnp.full((B, Lq), -1, jnp.int32),
+    )
+
+    def gather_beams(x, parent):
+        """x: (B, W, ...), parent: (B, W) -> x[b, parent[b, w]]."""
+        return jnp.take_along_axis(
+            x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
+
+    def step(c, t):
+        logprobs = jax.nn.log_softmax(
+            beta * linear(params["logit"], c["rnn_out"]), axis=1)
+        logprobs = logprobs.reshape(B, W, V)
+
+        total = c["beam_sum"][:, :, None] + logprobs
+        # at t == 0 all beams are identical: only row 0 may spawn
+        row_ids = jnp.arange(W)[None, :, None]
+        total = jnp.where((t == 0) & (row_ids > 0), NEG_INF, total)
+
+        flat = total.reshape(B, W * V)
+        new_sum, flat_idx = jax.lax.top_k(flat, W)            # (B, W)
+        parent = flat_idx // V
+        word = (flat_idx % V).astype(jnp.int32)
+        local_lp = jnp.take_along_axis(
+            logprobs.reshape(B, W * V), flat_idx, axis=1)
+
+        beam_seq = gather_beams(c["beam_seq"], parent).at[:, :, t].set(word)
+        beam_lp = gather_beams(c["beam_lp"], parent).at[:, :, t].set(local_lp)
+        att2_cand = jnp.take_along_axis(c["att2_ind"], parent, axis=1)
+        beam_att2 = gather_beams(c["beam_att2"], parent)
+        beam_att2 = jnp.where(
+            t >= 1,
+            beam_att2.at[:, :, t].set(att2_cand),
+            beam_att2)
+
+        # re-index recurrent state by parent
+        def reindex(x):
+            return gather_beams(
+                x.reshape(B, W, -1), parent).reshape(B * W, -1)
+
+        state = type(c["state"])(*(reindex(s) for s in c["state"]))
+        rnn_out = reindex(c["rnn_out"])
+
+        # harvest finished beams (CaptionModelBU.py:154-166)
+        finished = (word == 0) | (t == Lq - 1)
+        fin_scores = jnp.where(finished, new_sum, NEG_INF)
+        best_w = jnp.argmax(fin_scores, axis=1)               # (B,)
+        cand_score = jnp.take_along_axis(
+            fin_scores, best_w[:, None], axis=1)[:, 0]
+        improved = cand_score > c["best_score"]
+
+        def pick(rows):
+            return jnp.take_along_axis(
+                rows, best_w[:, None, None], axis=1)[:, 0]
+
+        best_score = jnp.where(improved, cand_score, c["best_score"])
+        best_seq = jnp.where(improved[:, None], pick(beam_seq),
+                             c["best_seq"])
+        best_lp = jnp.where(improved[:, None], pick(beam_lp), c["best_lp"])
+        best_att2 = jnp.where(improved[:, None], pick(beam_att2),
+                              c["best_att2"])
+        new_sum = jnp.where(finished, FINISHED_SCORE, new_sum)
+
+        # advance all beams one core step
+        xt = model.embed_words(params, word.reshape(B * W), train=False)
+        rnn_out, state, att2_w, _ = core(xt, state)
+        att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
+
+        return dict(state=state, rnn_out=rnn_out, att2_ind=att2_ind,
+                    beam_seq=beam_seq, beam_lp=beam_lp,
+                    beam_att2=beam_att2, beam_sum=new_sum,
+                    best_score=best_score, best_seq=best_seq,
+                    best_lp=best_lp, best_att2=best_att2), None
+
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(Lq))
+
+    att2_out = carry["best_att2"].at[:, 0].set(att2_first)
+    return carry["best_seq"], carry["best_lp"], att2_out

@@ -1,0 +1,538 @@
+"""The Grounded-Video-Description model, TPU-native.
+
+Capability contract (what, not how) from the reference `AttModel`
+(misc/model.py:28-742) + `TopDownCore` (misc/AttModel.py:111-164):
+
+  * encode pre-extracted frame + region features into attention banks,
+  * region-class similarity via visual-word embeddings with optional
+    Visual-Genome classifier transfer (fc7 surgery + per-class bias),
+  * teacher-forced training with LM / attention / grounding /
+    region-cls losses ('MLE'), grounding eval on GT sentences ('GRD'),
+  * greedy UNK-suppressed sampling and batched beam search ('sample').
+
+Architecture is jax-first: the decoder is a single `lax.scan` over the
+(static) 20 token steps; per-step ROI supervision and frame masks are
+precomputed as (B, T, ...) tensors outside the scan; all decode-time
+tensors keep the padded static shapes (R = 1000 ROIs, K = 100 boxes)
+so one XLA compilation serves every batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from grounded_video_description_tpu.config import GVDConfig
+from grounded_video_description_tpu.models import transformer as xf
+from grounded_video_description_tpu.nn import (
+    batch_norm, batch_norm_init, birnn, birnn_init, dropout, embedding,
+    embedding_init, layer_norm, linear, linear_init, lstm_cell,
+    lstm_cell_init,
+)
+from grounded_video_description_tpu.ops import (
+    MIN_VALUE, bbox_overlaps, bbox_target, grounder, region_attention,
+    sim_mat_target, temporal_attention,
+)
+from grounded_video_description_tpu import losses as L
+
+
+class CoreState(NamedTuple):
+    h_att: jnp.ndarray
+    c_att: jnp.ndarray
+    h_lang: jnp.ndarray
+    c_lang: jnp.ndarray
+
+
+def _split(rng, n):
+    if rng is None:
+        return [None] * n
+    return list(jax.random.split(rng, n))
+
+
+class GVDModel:
+    """Static config holder; all methods are pure functions of params."""
+
+    def __init__(self, cfg: GVDConfig):
+        cfg.validate()
+        self.cfg = cfg
+        # grounder head style (model.py:55-58): additive only for
+        # region_attn_mode add/cat; 'mix'/'mix_mul'/'dp' -> dot-product.
+        self.grounder_additive = cfg.region_attn_mode in ("add", "cat")
+        self.unk_idx = cfg.vocab_size - 1  # UNK is the last vocab entry
+
+    # ------------------------------------------------------------------ #
+    # init
+    # ------------------------------------------------------------------ #
+
+    def init(self, key) -> Dict:
+        cfg = self.cfg
+        ks = iter(jax.random.split(key, 40))
+        p: Dict = {}
+        p["loc_fc"] = linear_init(next(ks), 5, cfg.loc_encoding_size)
+        p["embed"] = embedding_init(next(ks), cfg.vocab_size,
+                                    cfg.input_encoding_size)
+        p["vis_embed"] = embedding_init(next(ks), cfg.detect_size + 1,
+                                        cfg.vis_encoding_size)
+        p["fc_embed"] = linear_init(next(ks), cfg.fc_feat_size_full,
+                                    cfg.rnn_size)
+        p["seg_info_embed"] = linear_init(next(ks), 4, cfg.seg_info_size)
+        p["att_embed_rgb"] = linear_init(next(ks), cfg.rgb_feat_size,
+                                         cfg.rnn_size // 2)
+        p["att_embed_motion"] = linear_init(next(ks), cfg.motion_feat_size,
+                                            cfg.rnn_size // 2)
+        bn_p, bn_s = batch_norm_init(cfg.rnn_size)
+        p["att_embed_aux"] = bn_p
+        p["pool_embed"] = linear_init(next(ks), cfg.pool_feat_size,
+                                      cfg.rnn_size)
+        p["ctx2att"] = linear_init(next(ks), cfg.rnn_size, cfg.att_hid_size)
+        p["ctx2pool"] = linear_init(next(ks), cfg.rnn_size, cfg.att_hid_size)
+        p["logit"] = linear_init(next(ks), cfg.rnn_size, cfg.vocab_size)
+        p["ctx2pool_grd"] = linear_init(next(ks), cfg.att_feat_size,
+                                        cfg.vis_encoding_size)
+        p["context_enc"] = birnn_init(next(ks), cfg.rnn_size,
+                                      cfg.rnn_size // 2, 2, cfg.t_attn_mode)
+
+        # model-level grounder head (model.py:55-58)
+        if cfg.region_attn_mode == "add":
+            p["alpha_net"] = linear_init(next(ks), cfg.att_hid_size, 1)
+        elif cfg.region_attn_mode == "cat":
+            p["alpha_net"] = linear_init(next(ks), cfg.att_hid_size * 2, 1)
+
+        if cfg.transfer_mode in ("cls", "both"):
+            p["vis_classifiers_bias"] = jnp.zeros((cfg.detect_size + 1,))
+
+        # TopDown core (AttModel.py:111-131).  The reference also
+        # allocates unused i2h_2/h2h_2 layers; not reproduced.
+        attn_width = {"add": cfg.att_hid_size, "mix": cfg.att_hid_size,
+                      "mix_mul": cfg.att_hid_size,
+                      "cat": cfg.att_hid_size * 2}.get(cfg.region_attn_mode)
+        core = {
+            "att_lstm": lstm_cell_init(
+                next(ks), cfg.input_encoding_size + cfg.rnn_size, cfg.rnn_size),
+            "lang_lstm": lstm_cell_init(
+                next(ks), cfg.rnn_size * 2, cfg.rnn_size),
+            "attn": {"h2att": linear_init(next(ks), cfg.rnn_size,
+                                          cfg.att_hid_size),
+                     "alpha_net": linear_init(next(ks), cfg.att_hid_size, 1)},
+            "attn2": {"h2att": linear_init(next(ks), cfg.rnn_size,
+                                           cfg.att_hid_size)},
+        }
+        if attn_width is not None:
+            core["attn2"]["alpha_net"] = linear_init(next(ks), attn_width, 1)
+        if cfg.att_input_mode == "dual_region":
+            core["attn2_dual"] = {
+                "h2att": linear_init(next(ks), cfg.rnn_size, cfg.att_hid_size)}
+            if attn_width is not None:
+                core["attn2_dual"]["alpha_net"] = linear_init(
+                    next(ks), attn_width, 1)
+            core["dual_pointer"] = linear_init(next(ks), cfg.rnn_size, 1)
+        p["core"] = core
+
+        if cfg.obj_interact:
+            # 2 layers, 6 heads, d_hidden = rnn/2 (model.py:126-135)
+            p["obj_interact"] = xf.encoder_init(
+                next(ks), cfg.rnn_size, cfg.rnn_size // 2, 2)
+
+        if cfg.att_model == "transformer":
+            p["cap_model"] = xf.decoder_init(
+                next(ks), cfg.rnn_size, cfg.rnn_size // 2, cfg.vocab_size, 2)
+
+        return {"params": p, "state": {"bn": bn_s}}
+
+    # ------------------------------------------------------------------ #
+    # shared encode path (model.py:302-409 / 504-568)
+    # ------------------------------------------------------------------ #
+
+    def encode(self, params: Dict, bn_state: Dict, batch: Dict, *,
+               train: bool, rng=None) -> Tuple[Dict, Dict]:
+        cfg = self.cfg
+        p = params
+        segs_feat = batch["seg_feat"].astype(jnp.float32)     # (B, T, F)
+        ppls = batch["ppls"].astype(jnp.float32)              # (B, R, 7)
+        ppls_feat = batch["ppls_feat"].astype(jnp.float32)    # (B, R, 2048)
+        num = batch["num"].astype(jnp.float32)                # (B, 7)
+        sample_idx = batch["sample_idx"].astype(jnp.int32)    # (B, 2)
+        pnt_mask = batch["pnt_mask"].astype(bool)             # (B, R+1)
+        B, R = ppls.shape[:2]
+        drop = cfg.drop_prob_lm
+        r = _split(rng, 10)
+
+        # fc feature: mean frame feat (LN) ++ segment-position info (LN)
+        fc_raw = jnp.mean(segs_feat, axis=1)
+        seg_info = jax.nn.relu(linear(p["seg_info_embed"], num[:, 3:7]))
+        seg_info = dropout(r[0], seg_info, drop, train=train)
+        fc_feats = jnp.concatenate(
+            [layer_norm(fc_raw), layer_norm(seg_info)], axis=-1)
+
+        # region features through the (transferred) fc7 layer
+        g_pool_feats = jax.nn.relu(linear(p["ctx2pool_grd"], ppls_feat))
+        g_pool_feats = dropout(r[1], g_pool_feats, drop, train=train)
+
+        # visual-word embeddings for all classes (model.py:321-326)
+        vis_ids = jnp.arange(cfg.detect_size + 1)
+        vis_word_embed = jax.nn.relu(embedding(p["vis_embed"], vis_ids))
+        vis_word_embed = dropout(r[2], vis_word_embed, drop, train=train)
+        p_vis_word = jnp.broadcast_to(
+            vis_word_embed[None], (B,) + vis_word_embed.shape)
+
+        if "vis_classifiers_bias" in p:
+            bias = jnp.broadcast_to(
+                p["vis_classifiers_bias"][None, :, None],
+                (B, cfg.detect_size + 1, R))
+        else:
+            bias = None
+
+        sim_logits = grounder(
+            p_vis_word, g_pool_feats, pnt_mask[:, 1:], bias,
+            alpha_params=p.get("alpha_net") if self.grounder_additive else None,
+            additive_cat=cfg.region_attn_mode == "cat")
+        sim_mat_static = jax.nn.softmax(sim_logits, axis=1)   # over classes
+
+        if not cfg.enable_BUTD:
+            loc_input = jnp.concatenate(
+                [ppls[:, :, :4] / 720.0,
+                 ppls[:, :, 4:5] / cfg.num_sampled_frm], axis=-1)
+            loc_feats = jax.nn.relu(linear(p["loc_fc"], loc_input))
+            loc_feats = dropout(r[3], loc_feats, 0.5, train=train)
+            label_feat = jnp.swapaxes(sim_mat_static, 1, 2)    # (B, R, C+1)
+            pool_cat = jnp.concatenate(
+                [layer_norm(g_pool_feats), layer_norm(loc_feats),
+                 layer_norm(label_feat)], axis=-1)
+        else:
+            pool_cat = g_pool_feats
+
+        fc_emb = jax.nn.relu(linear(p["fc_embed"], fc_feats))
+        fc_emb = dropout(r[4], fc_emb, drop, train=train)
+        pool_feats = jax.nn.relu(linear(p["pool_embed"], pool_cat))
+        pool_feats = dropout(r[5], pool_feats, drop, train=train)
+
+        if "obj_interact" in p:
+            pool_feats = xf.encoder_apply(
+                p["obj_interact"], pool_feats, n_heads=6, drop=0.2,
+                train=train, rng=r[6])[-1]
+
+        p_pool_feats = linear(p["ctx2pool"], pool_feats)
+
+        new_bn_state = bn_state
+        if cfg.att_input_mode in ("both", "featmap"):
+            rgb = segs_feat[:, :, :cfg.rgb_feat_size]
+            motion = segs_feat[:, :, cfg.rgb_feat_size:]
+            conv = jnp.concatenate([
+                dropout(r[7], jax.nn.relu(linear(p["att_embed_rgb"], rgb)),
+                        drop, train=train),
+                dropout(r[8], jax.nn.relu(linear(p["att_embed_motion"],
+                                                 motion)),
+                        drop, train=train)], axis=-1)
+            conv, new_bn_state = batch_norm(
+                p["att_embed_aux"], bn_state["bn"], conv, train=train)
+            conv = jax.nn.relu(conv)
+            conv = birnn(p["context_enc"], conv, mode=cfg.t_attn_mode,
+                         hidden=cfg.rnn_size // 2, dropout_rate=0.2,
+                         train=train, rng=r[9])
+            # zero frames outside the segment window (model.py:303-305, 401)
+            t_ids = jnp.arange(cfg.t_attn_size)[None, :]
+            inside = ((t_ids >= sample_idx[:, :1])
+                      & (t_ids < sample_idx[:, 1:2]))    # (B, T)
+            conv_feats = jnp.where(inside[..., None], conv, 0.0)
+            p_conv_feats = linear(p["ctx2att"], conv_feats)
+            new_bn_state = {"bn": new_bn_state}
+        else:
+            conv_feats = jnp.zeros((B, 1, cfg.rnn_size), jnp.float32)
+            p_conv_feats = jnp.zeros((B, 1, cfg.att_hid_size), jnp.float32)
+            new_bn_state = bn_state
+
+        return {
+            "fc_feats": fc_emb,
+            "conv_feats": conv_feats,
+            "p_conv_feats": p_conv_feats,
+            "pool_feats": pool_feats,
+            "p_pool_feats": p_pool_feats,
+            "g_pool_feats": g_pool_feats,
+            "sim_mat_static": sim_mat_static,       # class-softmaxed
+            "sim_logits": sim_logits,               # pre-softmax
+            "pnt_mask": pnt_mask,
+        }, new_bn_state
+
+    # ------------------------------------------------------------------ #
+    # TopDown core step (AttModel.py:134-164)
+    # ------------------------------------------------------------------ #
+
+    def core_step(self, core: Dict, xt, fc_feats, conv_feats, p_conv_feats,
+                  pool_feats, p_pool_feats, att_mask, pnt_mask,
+                  state: CoreState, *, train: bool, rng=None):
+        cfg = self.cfg
+        att_in = jnp.concatenate([fc_feats, xt], axis=1)
+        h_att, (h_att_, c_att) = lstm_cell(
+            core["att_lstm"], att_in, (state.h_att, state.c_att))
+
+        if cfg.att_input_mode != "region":
+            att = temporal_attention(core["attn"], h_att, conv_feats,
+                                     p_conv_feats)
+        att2, att2_weight, att_h = region_attention(
+            core["attn2"], h_att, pool_feats, p_pool_feats,
+            att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode)
+
+        if cfg.att_input_mode == "both":
+            lang_in = att + att2
+        elif cfg.att_input_mode == "featmap":
+            lang_in = att
+        elif cfg.att_input_mode == "region":
+            lang_in = att2
+        elif cfg.att_input_mode == "dual_region":
+            att2_dual, _, _ = region_attention(
+                core["attn2_dual"], h_att, pool_feats, p_pool_feats,
+                att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode)
+            dual_p = jax.nn.sigmoid(linear(core["dual_pointer"], h_att))
+            lang_in = dual_p * att2 + (1.0 - dual_p) * att2_dual
+        else:
+            raise ValueError(cfg.att_input_mode)
+
+        lang_lstm_in = jnp.concatenate([lang_in, h_att], axis=1)
+        h_lang, (h_lang_, c_lang) = lstm_cell(
+            core["lang_lstm"], lang_lstm_in, (state.h_lang, state.c_lang))
+        output = dropout(rng, h_lang, cfg.drop_prob_lm, train=train)
+        new_state = CoreState(h_att_, c_att, h_lang_, c_lang)
+        return output, new_state, att2_weight, att_h
+
+    def init_state(self, batch_size: int) -> CoreState:
+        z = jnp.zeros((batch_size, self.cfg.rnn_size), jnp.float32)
+        return CoreState(z, z, z, z)
+
+    # ------------------------------------------------------------------ #
+    # embeddings
+    # ------------------------------------------------------------------ #
+
+    def embed_words(self, params, ids, *, train: bool, rng=None):
+        x = jax.nn.relu(embedding(params["embed"], ids))
+        return dropout(rng, x, self.cfg.drop_prob_lm, train=train)
+
+    def embed_vis_words(self, params, ids, *, train: bool, rng=None):
+        x = jax.nn.relu(embedding(params["vis_embed"], ids))
+        return dropout(rng, x, self.cfg.drop_prob_lm, train=train)
+
+    # ------------------------------------------------------------------ #
+    # MLE / GRD forward (model.py:283-489)
+    # ------------------------------------------------------------------ #
+
+    def forward(self, variables: Dict, batch: Dict, *, mode: str = "MLE",
+                train: bool = True, rng=None):
+        """mode 'MLE' -> (losses dict, new_model_state);
+        mode 'GRD' -> grounding-eval outputs (see below)."""
+        assert mode in ("MLE", "GRD")
+        cfg = self.cfg
+        p = variables["params"]
+        eval_obj_ground = mode == "GRD"
+        if eval_obj_ground:
+            train = False
+
+        gt_seq = batch["gt_seq"].astype(jnp.int32)            # (B, 10, L)
+        input_seq = batch["input_seq"].astype(jnp.int32)      # (B, S, L+1, 4)
+        ppls = batch["ppls"].astype(jnp.float32)
+        gt_boxes = batch["gt_boxes"].astype(jnp.float32)      # (B, K, 6)
+        mask_boxes = batch["mask_boxes"].astype(bool)         # (B, S, K, L+1)
+        frm_mask = batch["frm_mask"].astype(bool)             # (B, R, K)
+        pnt_mask = batch["pnt_mask"].astype(bool)             # (B, R+1)
+
+        B, R = ppls.shape[:2]
+        S = cfg.seq_per_img
+        Lq = cfg.seq_length
+        sb = B * S
+
+        r = _split(rng, 6)
+
+        # teacher-forcing sequence: first S gt captions, BOS prepended
+        seq = gt_seq[:, :S, :].reshape(sb, Lq)
+        seq = jnp.concatenate([jnp.zeros((sb, 1), jnp.int32), seq], axis=1)
+        iseq = input_seq.reshape(sb, Lq + 1, 4)
+
+        enc, new_bn = self.encode(p, variables["state"], batch,
+                                  train=train, rng=r[0])
+
+        # overlaps with frame+proposal masking (model.py:317-318)
+        overlaps = bbox_overlaps(
+            ppls, gt_boxes, frm_mask | pnt_mask[:, 1:, None])  # (B, R, K)
+
+        # region-cls supervision (model.py:342-355)
+        sim_target = sim_mat_target(overlaps, gt_boxes[:, :, 5])  # (B, K, R)
+        if not eval_obj_ground:
+            cls_loss = L.cls_criterion(enc["sim_mat_static"], sim_target)
+            cls_out = cls_loss
+        else:
+            pred_cls = jnp.argmax(enc["sim_mat_static"], axis=1)  # (B, R)
+            cls_out = (sim_target, pred_cls)
+
+        def expand(x):
+            return jnp.repeat(x, S, axis=0) if S > 1 else x
+
+        fc_feats = expand(enc["fc_feats"])
+        conv_feats = expand(enc["conv_feats"])
+        p_conv_feats = expand(enc["p_conv_feats"])
+        pool_feats = expand(enc["pool_feats"])
+        p_pool_feats = expand(enc["p_pool_feats"])
+        g_pool_feats = expand(enc["g_pool_feats"])
+        pnt_mask_sb = expand(pnt_mask)
+        overlaps_sb = expand(overlaps)
+
+        # ---- per-step supervision tensors, precomputed (B*, T, ...) ----
+        # ROI labels: box_mask at step i+1 over all seq_per_img
+        # (utils.py:307-328 via model.py:431-433)
+        mb = mask_boxes.reshape(sb, -1, Lq + 1)               # (sb, K, L+1)
+        step_mask = jnp.moveaxis(mb[:, :, 1:], 2, 0)          # (L, sb, K)
+        roi_labels = jax.vmap(
+            lambda m: bbox_target(m, overlaps_sb))(step_mask)  # (L, sb, R)
+
+        if not eval_obj_ground:
+            # frame mask on proposals per step (model.py:436-440),
+            # built from the FIRST caption's box mask (reference quirk)
+            bm0 = mask_boxes[:, 0, :, 1:]                      # (B, K, L)
+            bm0 = jnp.moveaxis(bm0, 2, 0)                      # (L, B, K)
+            keep = (~(bm0[:, :, None, :] | frm_mask[None]))    # (L,B,R,K)
+            no_frame = jnp.sum(keep, axis=3) <= 0              # (L, B, R)
+            frm_on_prop = jnp.concatenate(
+                [jnp.zeros((Lq, B, 1), bool), no_frame], axis=2)
+            frm_on_prop = frm_on_prop | pnt_mask[None]         # (L, B, R+1)
+            if S > 1:
+                frm_on_prop = jnp.repeat(frm_on_prop, S, axis=1)
+            step_pnt = frm_on_prop                             # (L, sb, R+1)
+        else:
+            step_pnt = jnp.broadcast_to(pnt_mask_sb[None],
+                                        (Lq,) + pnt_mask_sb.shape)
+
+        # ---- the hot scan over decode steps (model.py:421-453) ----
+        xt_all = self.embed_words(p, seq[:, :Lq], train=train, rng=r[1])
+        xt_steps = jnp.moveaxis(xt_all, 1, 0)                  # (L, sb, E)
+        step_rngs = (jnp.stack(_split(r[2], Lq))
+                     if r[2] is not None else None)
+
+        def scan_step(state, inp):
+            if step_rngs is not None:
+                xt, pmask, srng = inp
+            else:
+                xt, pmask = inp
+                srng = None
+            out, new_state, att2_w, att_h = self.core_step(
+                p["core"], xt, fc_feats, conv_feats, p_conv_feats,
+                pool_feats, p_pool_feats, pnt_mask_sb, pmask, state,
+                train=train, rng=srng)
+            return new_state, (out, att2_w, att_h)
+
+        xs = (xt_steps, step_pnt, step_rngs) if step_rngs is not None \
+            else (xt_steps, step_pnt)
+        _, (outs, att2_ws, att_hs) = jax.lax.scan(
+            scan_step, self.init_state(sb), xs)
+
+        rnn_output = jnp.moveaxis(outs, 0, 1)                  # (sb, L, rnn)
+        att2_weights = jnp.moveaxis(att2_ws, 0, 1)             # (sb, L, R)
+        roi_labels = jnp.moveaxis(roi_labels, 0, 1)            # (sb, L, R)
+        frm_mask_output = jnp.moveaxis(step_pnt, 0, 1)         # (sb, L, R+1)
+
+        decoded = jax.nn.log_softmax(
+            linear(p["logit"], rnn_output), axis=2)            # (sb, L, V)
+
+        # grounding scorer over the target's visual words
+        # (model.py:467-480)
+        xt_clamp = jnp.maximum(iseq[:, 1:Lq + 1, 0] - cfg.vocab_size, 0)
+        xt_vis = self.embed_vis_words(p, xt_clamp, train=train, rng=r[3])
+        if "vis_classifiers_bias" in p:
+            g_bias = p["vis_classifiers_bias"][xt_clamp][..., None]
+        else:
+            g_bias = 0.0
+
+        if not eval_obj_ground:
+            ground_weights = grounder(
+                xt_vis, g_pool_feats, frm_mask_output[:, :, 1:],
+                g_bias + att2_weights,
+                alpha_params=(p.get("alpha_net")
+                              if self.grounder_additive else None),
+                additive_cat=cfg.region_attn_mode == "cat")
+            lm_loss, att2_loss, ground_loss = L.lm_criterion(
+                decoded, att2_weights, ground_weights,
+                seq[:, 1:Lq + 1], roi_labels)
+            new_vars_state = new_bn
+            return ({"lm_loss": lm_loss, "att2_loss": att2_loss,
+                     "ground_loss": ground_loss, "cls_loss": cls_out},
+                    new_vars_state)
+        else:
+            ground_weights = grounder(
+                xt_vis, g_pool_feats, pnt_mask_sb[:, 1:],
+                g_bias + att2_weights,
+                alpha_params=(p.get("alpha_net")
+                              if self.grounder_additive else None),
+                additive_cat=cfg.region_attn_mode == "cat")
+            # per-frame argmax over proposals (model.py:487-489)
+            att2_ind = jnp.argmax(att2_weights.reshape(
+                sb, Lq, cfg.num_sampled_frm, cfg.num_prop_per_frm), axis=-1)
+            grd_ind = jnp.argmax(ground_weights.reshape(
+                sb, Lq, cfg.num_sampled_frm, cfg.num_prop_per_frm), axis=-1)
+            sim_target_out, pred_cls = cls_out
+            return {"sim_target": sim_target_out, "pred_cls": pred_cls,
+                    "att2_ind": att2_ind, "grd_ind": grd_ind}
+
+    # ------------------------------------------------------------------ #
+    # greedy sampling (model.py:492-624)
+    # ------------------------------------------------------------------ #
+
+    def sample_greedy(self, variables: Dict, batch: Dict, *,
+                      rng=None, temperature: float = 1.0,
+                      sample_max: bool = True, beta: float = 1.0):
+        """Returns (seq (B,L), seqLogprobs (B,L), att2_weights (B,L,R),
+        sim_mat_static (B,C+1,R))."""
+        cfg = self.cfg
+        p = variables["params"]
+        enc, _ = self.encode(p, variables["state"], batch,
+                             train=False, rng=None)
+        pnt_mask = enc["pnt_mask"]
+        B = pnt_mask.shape[0]
+        Lq = cfg.seq_length
+
+        sample_rngs = (jnp.stack(_split(rng, Lq))
+                       if (rng is not None and not sample_max) else None)
+
+        def step(carry, inp):
+            state, prev_tok = carry
+            t = inp if sample_rngs is None else inp[0]
+            xt = self.embed_words(p, prev_tok, train=False)
+            out, new_state, att2_w, _ = self.core_step(
+                p["core"], xt, enc["fc_feats"], enc["conv_feats"],
+                enc["p_conv_feats"], enc["pool_feats"], enc["p_pool_feats"],
+                pnt_mask, pnt_mask, state, train=False)
+            logprobs = jax.nn.log_softmax(
+                beta * linear(p["logit"], out), axis=1)
+            if sample_max:
+                # UNK-suppressed argmax (model.py:589-594)
+                top2_val, top2_idx = jax.lax.top_k(logprobs, 2)
+                use_first = top2_idx[:, 0] != self.unk_idx
+                tok = jnp.where(use_first, top2_idx[:, 0], top2_idx[:, 1])
+                lp = jnp.where(use_first, top2_val[:, 0], top2_val[:, 1])
+            else:
+                srng = inp[1]
+                tok = jax.random.categorical(srng, logprobs / temperature,
+                                             axis=1)
+                lp = jnp.take_along_axis(
+                    logprobs, tok[:, None], axis=1)[:, 0]
+            tok = tok.astype(jnp.int32)
+            return (new_state, tok), (tok, lp, att2_w)
+
+        init = (self.init_state(B), jnp.zeros((B,), jnp.int32))
+        ts = jnp.arange(Lq)
+        xs = ts if sample_rngs is None else (ts, sample_rngs)
+        _, (toks, lps, att2_ws) = jax.lax.scan(step, init, xs)
+
+        seq = jnp.moveaxis(toks, 0, 1)
+        seq_lp = jnp.moveaxis(lps, 0, 1)
+        att2_weights = jnp.moveaxis(att2_ws, 0, 1)
+        return seq, seq_lp, att2_weights, enc["sim_mat_static"]
+
+    # ------------------------------------------------------------------ #
+    # beam search — batched, fully on device (models/beam.py)
+    # ------------------------------------------------------------------ #
+
+    def sample_beam(self, variables: Dict, batch: Dict, *, beam_size: int,
+                    beta: float = 1.0):
+        from grounded_video_description_tpu.models.beam import beam_search
+        p = variables["params"]
+        enc, _ = self.encode(p, variables["state"], batch,
+                             train=False, rng=None)
+        return beam_search(self, p, enc, beam_size=beam_size, beta=beta)

@@ -1,0 +1,244 @@
+"""Minimal functional neural-net library (pure pytrees, no framework).
+
+The model layer of this framework is deliberately built on plain
+parameter pytrees + pure functions: everything jits, shards and scans
+without module magic, and checkpoints are plain nested dicts.
+
+Initializers mirror the PyTorch defaults the reference model trains
+under (Linear: U(±1/sqrt(fan_in)) for weight *and* bias; Embedding:
+N(0,1); recurrent cells: U(±1/sqrt(hidden))), so optimization behaves
+comparably without copying any code.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict
+Initializer = jax.nn.initializers.Initializer
+
+
+# --------------------------------------------------------------------- #
+# initializers
+# --------------------------------------------------------------------- #
+
+def uniform_fan_in(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+# --------------------------------------------------------------------- #
+# linear
+# --------------------------------------------------------------------- #
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(key)
+    p = {"w": uniform_fan_in(kw, (in_dim, out_dim), in_dim)}
+    if bias:
+        p["b"] = uniform_fan_in(kb, (out_dim,), in_dim)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray, *, precision=None) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), precision=precision)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# --------------------------------------------------------------------- #
+# embedding
+# --------------------------------------------------------------------- #
+
+def embedding_init(key, num: int, dim: int) -> Params:
+    return {"w": jax.random.normal(key, (num, dim))}
+
+
+def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+# --------------------------------------------------------------------- #
+# LSTM cell (gate order i, f, g, o — torch convention, for readability
+# of any future weight import; fused as two matmuls for the MXU)
+# --------------------------------------------------------------------- #
+
+def lstm_cell_init(key, in_dim: int, hidden: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "wi": uniform_fan_in(k1, (in_dim, 4 * hidden), hidden),
+        "wh": uniform_fan_in(k2, (hidden, 4 * hidden), hidden),
+        "b": uniform_fan_in(k3, (4 * hidden,), hidden),
+    }
+
+
+def lstm_cell(p: Params, x: jnp.ndarray, state: Tuple[jnp.ndarray, jnp.ndarray]):
+    h, c = state
+    gates = (jnp.dot(x, p["wi"].astype(x.dtype))
+             + jnp.dot(h, p["wh"].astype(x.dtype))
+             + p["b"].astype(x.dtype))
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, (h_new, c_new)
+
+
+# --------------------------------------------------------------------- #
+# GRU cell (torch gate order r, z, n; n-gate uses r * (W_hn h + b_hn))
+# --------------------------------------------------------------------- #
+
+def _gru_cell_init(key, in_dim: int, hidden: int) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "wi": uniform_fan_in(k1, (in_dim, 3 * hidden), hidden),
+        "wh": uniform_fan_in(k2, (hidden, 3 * hidden), hidden),
+        "bi": uniform_fan_in(k3, (3 * hidden,), hidden),
+        "bh": uniform_fan_in(k4, (3 * hidden,), hidden),
+    }
+
+
+def _gru_cell(p: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    gi = jnp.dot(x, p["wi"].astype(x.dtype)) + p["bi"].astype(x.dtype)
+    gh = jnp.dot(h, p["wh"].astype(x.dtype)) + p["bh"].astype(x.dtype)
+    ir, iz, in_ = jnp.split(gi, 3, axis=-1)
+    hr, hz, hn = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(ir + hr)
+    z = jax.nn.sigmoid(iz + hz)
+    n = jnp.tanh(in_ + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+# --------------------------------------------------------------------- #
+# multi-layer bidirectional RNN over time (lax.scan per direction).
+#
+# Temporal-context encoder equivalent of the reference's
+# nn.LSTM/nn.GRU(bidirectional=True, num_layers=2, dropout=p)
+# (misc/model.py:145-156).  Layout: (B, T, D) batch-first.
+# --------------------------------------------------------------------- #
+
+def birnn_init(key, in_dim: int, hidden: int, num_layers: int, mode: str) -> Params:
+    cell_init = _gru_cell_init if mode == "bigru" else lstm_cell_init
+    layers = []
+    d = in_dim
+    for li in range(num_layers):
+        kf, kb, key = jax.random.split(key, 3)
+        layers.append({"fwd": cell_init(kf, d, hidden),
+                       "bwd": cell_init(kb, d, hidden)})
+        d = 2 * hidden
+    return {"layers": layers}
+
+
+def _scan_dir(cell_fn, p, xs, hidden, reverse: bool):
+    B = xs.shape[0]
+    h0 = jnp.zeros((B, hidden), xs.dtype)
+
+    if cell_fn is lstm_cell:
+        carry0 = (h0, h0)
+
+        def step(carry, x):
+            _, new = lstm_cell(p, x, carry)
+            return new, new[0]
+    else:
+        carry0 = h0
+
+        def step(carry, x):
+            h = _gru_cell(p, x, carry)
+            return h, h
+
+    xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
+    _, ys = jax.lax.scan(step, carry0, xs_t, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def birnn(p: Params, x: jnp.ndarray, *, mode: str, hidden: int,
+          dropout_rate: float = 0.0, train: bool = False, rng=None) -> jnp.ndarray:
+    cell_fn = _gru_cell if mode == "bigru" else lstm_cell
+    out = x
+    n_layers = len(p["layers"])
+    for li, lp in enumerate(p["layers"]):
+        fwd = _scan_dir(cell_fn, lp["fwd"], out, hidden, reverse=False)
+        bwd = _scan_dir(cell_fn, lp["bwd"], out, hidden, reverse=True)
+        out = jnp.concatenate([fwd, bwd], axis=-1)
+        if train and dropout_rate > 0.0 and li < n_layers - 1 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            out = dropout(sub, out, dropout_rate, train=True)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# normalization
+# --------------------------------------------------------------------- #
+
+def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Parameter-free layer norm over the last axis (F.layer_norm with
+    default weight/bias — matches model.py:307-308, 363-364)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def layer_norm_params_init(dim: int) -> Params:
+    return {"gamma": jnp.ones((dim,)), "beta": jnp.zeros((dim,))}
+
+
+def layer_norm_affine(p: Params, x: jnp.ndarray, eps: float = 1e-6,
+                      use_std: bool = False) -> jnp.ndarray:
+    """Affine layer norm.  With ``use_std=True`` reproduces the
+    transformer LayerNorm variant that divides by (std + eps) using the
+    unbiased std (misc/transformer.py:66-77)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    if use_std:
+        n = x.shape[-1]
+        var = jnp.var(x, axis=-1, keepdims=True) * (n / max(n - 1, 1))
+        normed = (x - mean) / (jnp.sqrt(var) + eps)
+    else:
+        var = jnp.var(x, axis=-1, keepdims=True)
+        normed = (x - mean) * jax.lax.rsqrt(var + eps)
+    return p["gamma"].astype(x.dtype) * normed + p["beta"].astype(x.dtype)
+
+
+def batch_norm_init(dim: int) -> Tuple[Params, Params]:
+    """Returns (params, state) for BatchNorm1d over a (B, T, C) tensor
+    normalizing per channel across (B, T) — the att_embed_aux layer
+    (model.py:114-115, applied at model.py:396-398)."""
+    params = {"gamma": jnp.ones((dim,)), "beta": jnp.zeros((dim,))}
+    state = {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,)),
+             "count": jnp.zeros(())}
+    return params, state
+
+
+def batch_norm(params: Params, state: Params, x: jnp.ndarray, *,
+               train: bool, momentum: float = 0.1, eps: float = 1e-5):
+    """x: (B, T, C); returns (y, new_state)."""
+    if train:
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.var(x, axis=(0, 1))
+        n = x.shape[0] * x.shape[1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "count": state["count"] + 1,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean.astype(x.dtype)) * jax.lax.rsqrt(var.astype(x.dtype) + eps)
+    y = params["gamma"].astype(x.dtype) * y + params["beta"].astype(x.dtype)
+    return y, new_state
+
+
+# --------------------------------------------------------------------- #
+# dropout
+# --------------------------------------------------------------------- #
+
+def dropout(rng, x: jnp.ndarray, rate: float, *, train: bool) -> jnp.ndarray:
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,4 @@
+from grounded_video_description_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, make_sharded_train_step,
+    batch_sharding, param_shardings,
+)
