@@ -94,11 +94,15 @@ class GVDModel:
         p["context_enc"] = birnn_init(next(ks), cfg.rnn_size,
                                       cfg.rnn_size // 2, 2, cfg.t_attn_mode)
 
-        # model-level grounder head (model.py:55-58)
+        # model-level grounder head (model.py:55-58).  The reference
+        # sizes this by att_hid_size, which only type-checks when
+        # vis_encoding_size == att_hid_size (it crashes otherwise); we
+        # size it by the embeddings it actually scores.
         if cfg.region_attn_mode == "add":
-            p["alpha_net"] = linear_init(next(ks), cfg.att_hid_size, 1)
+            p["alpha_net"] = linear_init(next(ks), cfg.vis_encoding_size, 1)
         elif cfg.region_attn_mode == "cat":
-            p["alpha_net"] = linear_init(next(ks), cfg.att_hid_size * 2, 1)
+            p["alpha_net"] = linear_init(
+                next(ks), cfg.vis_encoding_size * 2, 1)
 
         if cfg.transfer_mode in ("cls", "both"):
             p["vis_classifiers_bias"] = jnp.zeros((cfg.detect_size + 1,))
@@ -296,6 +300,17 @@ class GVDModel:
         new_state = CoreState(h_att_, c_att, h_lang_, c_lang)
         return output, new_state, att2_weight, att_h
 
+    def _transformer_encodings(self, p, conv_feats, pool_feats):
+        """Cross-attention memory pair for the 2-layer Masked-Transformer
+        captioner: decoder layer i attends encodings[i]
+        (model.py:411-417, transformer.py:206-212)."""
+        mode = self.cfg.att_input_mode
+        if mode == "both":
+            return [conv_feats, pool_feats]
+        if mode == "featmap":
+            return [conv_feats, conv_feats]
+        return [pool_feats, pool_feats]
+
     def init_state(self, batch_size: int) -> CoreState:
         z = jnp.zeros((batch_size, self.cfg.rnn_size), jnp.float32)
         return CoreState(z, z, z, z)
@@ -374,6 +389,18 @@ class GVDModel:
         g_pool_feats = expand(enc["g_pool_feats"])
         pnt_mask_sb = expand(pnt_mask)
         overlaps_sb = expand(overlaps)
+
+        # ---- Masked-Transformer captioner family (model.py:411-419).
+        # It has no box supervision; only the LM loss is meaningful.
+        if cfg.att_model == "transformer":
+            encodings = self._transformer_encodings(
+                p, conv_feats, pool_feats)
+            lm_loss = xf.decoder_xe_loss(
+                p["cap_model"], encodings, seq, n_heads=6, drop=0.2,
+                train=train, rng=r[4])
+            zero = jnp.zeros(())
+            return ({"lm_loss": lm_loss, "att2_loss": zero,
+                     "ground_loss": zero, "cls_loss": zero}, new_bn)
 
         # ---- per-step supervision tensors, precomputed (B*, T, ...) ----
         # ROI labels: box_mask at step i+1 over all seq_per_img
@@ -486,6 +513,16 @@ class GVDModel:
         pnt_mask = enc["pnt_mask"]
         B = pnt_mask.shape[0]
         Lq = cfg.seq_length
+
+        if cfg.att_model == "transformer":
+            # greedy Masked-Transformer inference (model.py:570-578)
+            encodings = self._transformer_encodings(
+                p, enc["conv_feats"], enc["pool_feats"])
+            seq = xf.decoder_greedy(p["cap_model"], encodings, Lq,
+                                    n_heads=6)
+            zeros_lp = jnp.zeros((B, Lq), jnp.float32)
+            dummy_att2 = jnp.zeros((B, Lq, cfg.max_proposal), jnp.float32)
+            return seq, zeros_lp, dummy_att2, enc["sim_mat_static"]
 
         sample_rngs = (jnp.stack(_split(rng, Lq))
                        if (rng is not None and not sample_max) else None)

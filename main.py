@@ -1,0 +1,140 @@
+"""CLI driver: train / evaluate grounded video description on TPU.
+
+Capability contract from the reference driver (main.py:520-743):
+config parse + YAML overlay, dataset/loader construction, model build
+with VG weight transfer, optional resume (best or latest), per-epoch
+LR decay, val-every-N-epochs with language + grounding eval,
+best-by-CIDEr checkpointing.
+
+TPU-native: one jitted training step reused across all epochs (static
+shapes), host-threaded batch prefetch, device-mesh data parallelism
+when more than one device is visible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_model_and_vocab(cfg):
+    import jax
+
+    from grounded_video_description_tpu.data.dataset import AnetDataset
+    from grounded_video_description_tpu.data.transfer import (
+        apply_weight_transfer, load_detectron_weights)
+    from grounded_video_description_tpu.data.vocab import (
+        GloVe, build_class_glove, build_vg_cls_glove, load_vg_classes)
+    from grounded_video_description_tpu.models import GVDModel
+
+    dataset = AnetDataset(cfg, split=cfg.train_split)
+    dataset_val = AnetDataset(cfg, split=cfg.val_split)
+    vocab = dataset.vocab
+    cfg = cfg.replace(vocab_size=vocab.vocab_size,
+                      detect_size=vocab.detect_size)
+
+    model = GVDModel(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed))
+
+    # Visual-Genome knowledge transfer (model.py:172-217)
+    detectron_dir = os.path.join(cfg.data_path, "detectron_weights")
+    if os.path.isdir(detectron_dir) and cfg.transfer_mode != "none":
+        glove = GloVe(cfg.glove_file or None, dim=cfg.glove_dim)
+        vg_classes = load_vg_classes(
+            os.path.join(cfg.data_path, "vg_object_vocab.txt"))
+        glove_vg = build_vg_cls_glove(vg_classes, glove)
+        glove_cls = build_class_glove(vocab.itod, glove)
+        det = load_detectron_weights(detectron_dir)
+        if det:
+            params = apply_weight_transfer(
+                dict(variables["params"]), transfer_mode=cfg.transfer_mode,
+                detectron=det, glove_vg_cls=glove_vg,
+                glove_clss=glove_cls, verbose=True)
+            variables = {"params": params, "state": variables["state"]}
+            print("applied detectron weight transfer "
+                  f"({cfg.transfer_mode})")
+
+    return cfg, model, variables, dataset, dataset_val, vocab
+
+
+def main(argv=None):
+    from grounded_video_description_tpu.config import GVDConfig
+
+    cfg = GVDConfig.from_cli(argv)
+    np.random.seed(cfg.seed)
+
+    import jax
+
+    from grounded_video_description_tpu.data.dataset import Loader
+    from grounded_video_description_tpu.engine import Trainer
+    from grounded_video_description_tpu.engine.checkpoint import (
+        CheckpointManager)
+    from grounded_video_description_tpu.engine.evaluator import Evaluator
+    from grounded_video_description_tpu.utils.logging import MetricLogger
+
+    cfg, model, variables, dataset, dataset_val, vocab = \
+        build_model_and_vocab(cfg)
+
+    loader = Loader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed)
+    loader_val = Loader(dataset_val, cfg.batch_size, shuffle=False,
+                        drop_last=False)
+
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(params=variables["params"],
+                               model_state=variables["state"])
+    ckpt = CheckpointManager(cfg.checkpoint_path)
+    logger = MetricLogger(cfg.log_jsonl)
+
+    infos = {"epoch": 0, "best_val_score": None}
+    if cfg.start_from:
+        resume = CheckpointManager(cfg.start_from)
+        state, infos = resume.restore(
+            state, load_best=cfg.load_best_score == 1)
+        print(f"resumed from {cfg.start_from} at epoch "
+              f"{infos.get('epoch', 0)}")
+
+    evaluator = Evaluator(cfg, model, vocab)
+    best_val = infos.get("best_val_score")
+    start_epoch = infos.get("epoch", 0)
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        if not cfg.inference_only:
+            state, train_metrics = trainer.fit_epoch(
+                state, loader, epoch, log_fn=logger.log)
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in train_metrics.items()))
+            logger.log({"epoch": epoch, **train_metrics})
+
+        if epoch % cfg.val_every_epoch == 0 or cfg.inference_only:
+            variables_now = {"params": state.params,
+                             "state": state.model_state}
+            stats = evaluator.evaluate(variables_now, loader_val,
+                                       epoch=epoch)
+            if cfg.att_model == "topdown" and cfg.eval_obj_grounding_gt:
+                stats.update(evaluator.eval_grounding_gt(
+                    variables_now, loader_val))
+            logger.log({"epoch": epoch, "split": cfg.val_split, **stats})
+
+            if cfg.inference_only:
+                print(json.dumps(stats))
+                break
+
+            current = stats.get("CIDEr", 0.0)
+            best_flag = best_val is None or current > best_val
+            if best_flag:
+                best_val = current
+            ckpt.save(state, {"epoch": epoch + 1,
+                              "best_val_score": best_val,
+                              "vocab_size": cfg.vocab_size},
+                      best=best_flag)
+            print(f"checkpoint saved (best={best_flag}, "
+                  f"CIDEr={current:.4f})")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
