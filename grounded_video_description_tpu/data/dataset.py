@@ -94,12 +94,8 @@ class AnetDataset:
         region_feature = np.load(
             os.path.join(cfg.feature_root, seg_id + ".npy"))
         region_feature = region_feature.reshape(
-            -1, region_feature.shape[2]).copy()
+            -1, region_feature.shape[2])
         assert num_proposal == region_feature.shape[0]
-
-        pnt_mask = proposals[:, 6] <= cfg.prop_thresh
-        if cfg.exclude_bgd_det:
-            pnt_mask |= proposals[:, 5] == 0
 
         seg_rgb = np.load(os.path.join(
             cfg.seg_feature_root, vid_id[2:] + "_resnet.npy"))
@@ -195,28 +191,26 @@ class AnetDataset:
         gt_seq = np.zeros((10, Lq), np.int64)
         gt_seq[0] = cap_seq[:, 4]
 
-        # static-shape padding (dataloader_anet.py:317-348)
-        pad_proposals = np.zeros((self.max_proposal, 7), np.float32)
-        pad_pnt_mask = np.ones((self.max_proposal,), bool)
-        pad_gt_bboxs = np.zeros((self.max_gt_box, 6), np.float32)
-        pad_box_mask = np.ones((S, self.max_gt_box, Lq + 1), np.uint8)
-        pad_region_feature = np.zeros(
-            (self.max_proposal, cfg.att_feat_size), np.float32)
-        pad_frm_mask = np.ones((self.max_proposal, self.max_gt_box), bool)
-
+        # static-shape padding (dataloader_anet.py:317-348); the
+        # pad/mask/zero pass runs in the native C++ packer when built
         num_box = min(gt_bboxs.shape[0], self.max_gt_box)
         num_pps = min(proposals.shape[0], self.max_proposal)
-        pad_proposals[:num_pps] = proposals[:num_pps]
-        pad_pnt_mask[:num_pps] = pnt_mask[:num_pps]
-        pad_gt_bboxs[:num_box] = gt_bboxs[:num_box]
-        pad_box_mask[:, :num_box, 1:] = box_mask[None, :num_box, :]
-        pad_region_feature[:num_pps] = region_feature[:num_pps]
-        pad_frm_mask[:num_pps, :num_box] = self._get_frm_mask(
-            pad_proposals[:num_pps, 4], pad_gt_bboxs[:num_box, 4])
 
-        # zero masked proposals/features (dataloader_anet.py:343-344)
-        pad_proposals[pad_pnt_mask] = 0.0
-        pad_region_feature[pad_pnt_mask] = 0.0
+        pad_gt_bboxs = np.zeros((self.max_gt_box, 6), np.float32)
+        pad_gt_bboxs[:num_box] = gt_bboxs[:num_box]
+        pad_box_mask = np.ones((S, self.max_gt_box, Lq + 1), np.uint8)
+        pad_box_mask[:, :num_box, 1:] = box_mask[None, :num_box, :]
+
+        from grounded_video_description_tpu.data.native_pack import (
+            pack_segment)
+        pad_proposals, pad_pnt_mask, pad_region_feature, pad_frm_mask = \
+            pack_segment(
+                proposals[:num_pps], region_feature[:num_pps],
+                pad_gt_bboxs[:num_box, 4],
+                prop_thresh=cfg.prop_thresh,
+                exclude_bgd=cfg.exclude_bgd_det,
+                max_proposal=self.max_proposal,
+                max_box=self.max_gt_box)
 
         num = np.array([1, num_pps, num_box, int(seg_idx),
                         max(self.num_seg_per_vid[vid_id]) + 1,

@@ -276,7 +276,8 @@ class GVDModel:
                                      p_conv_feats)
         att2, att2_weight, att_h = region_attention(
             core["attn2"], h_att, pool_feats, p_pool_feats,
-            att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode)
+            att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode,
+            use_pallas=cfg.use_pallas)
 
         if cfg.att_input_mode == "both":
             lang_in = att + att2
@@ -287,7 +288,8 @@ class GVDModel:
         elif cfg.att_input_mode == "dual_region":
             att2_dual, _, _ = region_attention(
                 core["attn2_dual"], h_att, pool_feats, p_pool_feats,
-                att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode)
+                att_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode,
+                use_pallas=cfg.use_pallas)
             dual_p = jax.nn.sigmoid(linear(core["dual_pointer"], h_att))
             lang_in = dual_p * att2 + (1.0 - dual_p) * att2_dual
         else:

@@ -48,7 +48,8 @@ def temporal_attention(p, h: jnp.ndarray, att_feats: jnp.ndarray,
 
 def region_attention(p, h: jnp.ndarray, pool_feats: jnp.ndarray,
                      p_pool_feats: jnp.ndarray, att_mask: jnp.ndarray,
-                     pnt_mask: jnp.ndarray, *, mode: str
+                     pnt_mask: jnp.ndarray, *, mode: str,
+                     use_pallas: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Region attention with dual masking.
 
@@ -66,6 +67,15 @@ def region_attention(p, h: jnp.ndarray, pool_feats: jnp.ndarray,
     the per-step argmax) — AttModel.py:98-106.
     """
     att_h = linear(p["h2att"], h)                         # (B, H)
+
+    if use_pallas and mode in ("add", "mix"):
+        from grounded_video_description_tpu.ops.pallas.region_attention \
+            import fused_region_attention
+        att_res, grd_logits = fused_region_attention(
+            p_pool_feats, att_h, pool_feats,
+            p["alpha_net"]["w"], p["alpha_net"].get("b", 0.0),
+            att_mask, pnt_mask)
+        return att_res, grd_logits, att_h
 
     if mode in ("add", "mix"):
         dot = jnp.tanh(p_pool_feats + att_h[:, None, :])

@@ -1,0 +1,77 @@
+"""Checkpoint save/restore roundtrip + best-model selection policy."""
+
+import os
+
+import jax
+import numpy as np
+
+from grounded_video_description_tpu.config import tiny_test_config
+from grounded_video_description_tpu.engine import Trainer
+from grounded_video_description_tpu.engine.checkpoint import (
+    CheckpointManager)
+
+
+def test_roundtrip_and_best_selection(tmp_path):
+    cfg = tiny_test_config()
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    ckpt = CheckpointManager(str(tmp_path))
+
+    ckpt.save(state, {"epoch": 3, "best_val_score": 0.25}, best=True)
+
+    # mutate params, save as non-best
+    mutated = jax.tree.map(lambda x: x + 1.0, state.params)
+    from grounded_video_description_tpu.engine.trainer import TrainState
+    state2 = TrainState(mutated, state.model_state, state.opt_state, 10)
+    ckpt.save(state2, {"epoch": 5, "best_val_score": 0.25}, best=False)
+
+    # load_best=True must restore the epoch-3 (unmutated) weights
+    fresh = trainer.init_state()
+    restored, infos = ckpt.restore(fresh, load_best=True)
+    assert infos["epoch"] == 3
+    w0 = np.array(state.params["logit"]["w"])
+    wr = np.array(restored.params["logit"]["w"])
+    assert np.allclose(w0, wr)
+
+    # load_best=False restores the latest
+    restored2, infos2 = ckpt.restore(fresh, load_best=False)
+    assert infos2["epoch"] == 5
+    assert np.allclose(np.array(restored2.params["logit"]["w"]), w0 + 1.0)
+
+
+def test_glove_and_transfer_surgery():
+    import numpy as np
+
+    from grounded_video_description_tpu.data.transfer import (
+        apply_weight_transfer, match_classes_by_glove)
+
+    rng = np.random.RandomState(0)
+    n_vg, C1, dim = 20, 5, 16
+    glove_vg = rng.randn(n_vg, dim)
+    glove_cls = glove_vg[[0, 3, 7, 11, 15]] + rng.randn(C1, dim) * 1e-3
+    max_sim, matched = match_classes_by_glove(glove_vg, glove_cls)
+    assert matched.tolist() == [0, 3, 7, 11, 15]
+    assert np.all(max_sim > 0.99)
+
+    att_feat, vis_enc = 8, 8
+    params = {
+        "ctx2pool_grd": {"w": np.zeros((att_feat, vis_enc), np.float32),
+                         "b": np.zeros(vis_enc, np.float32)},
+        "vis_embed": {"w": np.zeros((C1, vis_enc), np.float32)},
+    }
+    det = {
+        "fc7_w": rng.randn(vis_enc, att_feat).astype(np.float32),
+        "fc7_b": rng.randn(vis_enc).astype(np.float32),
+        "cls_score_w": rng.randn(n_vg, vis_enc).astype(np.float32),
+        "cls_score_b": rng.randn(n_vg).astype(np.float32),
+    }
+    out = apply_weight_transfer(params, transfer_mode="cls",
+                                detectron=det, glove_vg_cls=glove_vg,
+                                glove_clss=glove_cls)
+    assert np.allclose(out["ctx2pool_grd"]["w"], det["fc7_w"].T)
+    assert np.allclose(out["ctx2pool_grd"]["b"], det["fc7_b"])
+    # class 0 must map to VG background row 0
+    assert np.allclose(out["vis_embed"]["w"][0], det["cls_score_w"][0])
+    assert np.allclose(out["vis_embed"]["w"][1], det["cls_score_w"][3])
+    assert np.allclose(out["vis_classifiers_bias"][2],
+                       det["cls_score_b"][7])
