@@ -39,6 +39,7 @@ def main():
         seq_per_img=1,
         drop_prob_lm=0.5,
         obj_interact=True,
+        dtype="bfloat16",         # MXU at full rate; softmax/loss in f32
         learning_rate_decay_start=-1,
     ).validate()
 

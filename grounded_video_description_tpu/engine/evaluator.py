@@ -111,6 +111,12 @@ class Evaluator:
                     grd_output[vid_id][seg_idx] = tmp
 
             sents = decode_sequence(self.vocab.itow, seq)
+
+            # attention-overlay visualization (main.py:47-85, 402-410);
+            # requires extracted frames under cfg.image_path
+            if cfg.vis_attn and "att2_weights" in out and cfg.image_path:
+                self._visualize_batch(batch, out, sents)
+
             for k, sent in enumerate(sents):
                 vid_id, seg_idx = seg_ids[k].split("_segment_")
                 seg_idx = str(int(seg_idx))
@@ -175,6 +181,40 @@ class Evaluator:
                     stats[f"grd_f1_{mode}"] = f1
 
         return dict(stats)
+
+    # ------------------------------------------------------------------ #
+
+    def _visualize_batch(self, batch, out, sents):
+        """Draw top-1 attended boxes per word onto sampled frames
+        (frames expected at <image_path>/<seg_id>/NN.jpg, the
+        reference's frames_10frm layout, dataloader_anet.py:305-308)."""
+        cfg = self.cfg
+        from grounded_video_description_tpu.utils.visualize import (
+            vis_infer)
+
+        att2_w = out["att2_weights"]
+        att2_soft = np.exp(att2_w - att2_w.max(-1, keepdims=True))
+        att2_soft /= att2_soft.sum(-1, keepdims=True)
+        ppls = np.array(batch["ppls"])
+        num = np.array(batch["num"])
+        sim = out.get("sim_mat")
+        for i, (sent, seg_id) in enumerate(zip(sents, batch["seg_id"])):
+            frame_dir = os.path.join(cfg.image_path, seg_id)
+            if not os.path.isdir(frame_dir) or not sent:
+                continue
+            try:
+                from PIL import Image
+                frames = []
+                for f in range(cfg.num_sampled_frm):
+                    path = os.path.join(frame_dir, f"{f + 1:02d}.jpg")
+                    frames.append(np.array(Image.open(path).convert("RGB")))
+                vis_infer(np.stack(frames), seg_id, sent, att2_soft[i],
+                          ppls[i], int(num[i, 1]),
+                          sim[i] if sim is not None else
+                          np.zeros((1, ppls.shape[1])),
+                          self.vocab.itod, run_id=cfg.id or "run")
+            except Exception as e:   # missing frames are non-fatal
+                print(f"[vis_attn] skipped {seg_id}: {e}")
 
     # ------------------------------------------------------------------ #
 

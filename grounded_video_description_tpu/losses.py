@@ -37,6 +37,9 @@ def lm_criterion(decoded: jnp.ndarray, att2_weights: jnp.ndarray,
     target:         (B, S) int token targets (0 == pad/end).
     att2_target:    (B, S, R) {0,1} ROI supervision labels.
     """
+    decoded = decoded.astype(jnp.float32)
+    att2_weights = att2_weights.astype(jnp.float32)
+    ground_weights = ground_weights.astype(jnp.float32)
     B, S, V = decoded.shape
     # include the position of the END token: mask = [1, target[:-1] > 0]
     tgt_pos = target > 0

@@ -89,7 +89,8 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
 
     def step(c, t):
         logprobs = jax.nn.log_softmax(
-            beta * linear(params["logit"], c["rnn_out"]), axis=1)
+            beta * linear(params["logit"],
+                          c["rnn_out"]).astype(jnp.float32), axis=1)
         logprobs = logprobs.reshape(B, W, V)
 
         total = c["beam_sum"][:, :, None] + logprobs

@@ -61,6 +61,10 @@ class GVDModel:
         # region_attn_mode add/cat; 'mix'/'mix_mul'/'dp' -> dot-product.
         self.grounder_additive = cfg.region_attn_mode in ("add", "cat")
         self.unk_idx = cfg.vocab_size - 1  # UNK is the last vocab entry
+        # compute dtype: bfloat16 keeps the MXU fed at 2x f32 rate;
+        # losses / softmaxes / statistics stay f32
+        self.dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
+                      else jnp.float32)
 
     # ------------------------------------------------------------------ #
     # init
@@ -153,10 +157,11 @@ class GVDModel:
                train: bool, rng=None) -> Tuple[Dict, Dict]:
         cfg = self.cfg
         p = params
-        segs_feat = batch["seg_feat"].astype(jnp.float32)     # (B, T, F)
+        dt = self.dtype
+        segs_feat = batch["seg_feat"].astype(dt)              # (B, T, F)
         ppls = batch["ppls"].astype(jnp.float32)              # (B, R, 7)
-        ppls_feat = batch["ppls_feat"].astype(jnp.float32)    # (B, R, 2048)
-        num = batch["num"].astype(jnp.float32)                # (B, 7)
+        ppls_feat = batch["ppls_feat"].astype(dt)             # (B, R, 2048)
+        num = batch["num"].astype(dt)                         # (B, 7)
         sample_idx = batch["sample_idx"].astype(jnp.int32)    # (B, 2)
         pnt_mask = batch["pnt_mask"].astype(bool)             # (B, R+1)
         B, R = ppls.shape[:2]
@@ -177,7 +182,8 @@ class GVDModel:
         # visual-word embeddings for all classes (model.py:321-326)
         vis_ids = jnp.arange(cfg.detect_size + 1)
         vis_word_embed = jax.nn.relu(embedding(p["vis_embed"], vis_ids))
-        vis_word_embed = dropout(r[2], vis_word_embed, drop, train=train)
+        vis_word_embed = dropout(r[2], vis_word_embed, drop,
+                                 train=train).astype(dt)
         p_vis_word = jnp.broadcast_to(
             vis_word_embed[None], (B,) + vis_word_embed.shape)
 
@@ -192,15 +198,18 @@ class GVDModel:
             p_vis_word, g_pool_feats, pnt_mask[:, 1:], bias,
             alpha_params=p.get("alpha_net") if self.grounder_additive else None,
             additive_cat=cfg.region_attn_mode == "cat")
-        sim_mat_static = jax.nn.softmax(sim_logits, axis=1)   # over classes
+        sim_mat_static = jax.nn.softmax(
+            sim_logits.astype(jnp.float32), axis=1)           # over classes
 
         if not cfg.enable_BUTD:
             loc_input = jnp.concatenate(
                 [ppls[:, :, :4] / 720.0,
-                 ppls[:, :, 4:5] / cfg.num_sampled_frm], axis=-1)
+                 ppls[:, :, 4:5] / cfg.num_sampled_frm],
+                axis=-1).astype(dt)
             loc_feats = jax.nn.relu(linear(p["loc_fc"], loc_input))
             loc_feats = dropout(r[3], loc_feats, 0.5, train=train)
-            label_feat = jnp.swapaxes(sim_mat_static, 1, 2)    # (B, R, C+1)
+            label_feat = jnp.swapaxes(sim_mat_static, 1,
+                                      2).astype(dt)            # (B, R, C+1)
             pool_cat = jnp.concatenate(
                 [layer_norm(g_pool_feats), layer_norm(loc_feats),
                  layer_norm(label_feat)], axis=-1)
@@ -243,8 +252,8 @@ class GVDModel:
             p_conv_feats = linear(p["ctx2att"], conv_feats)
             new_bn_state = {"bn": new_bn_state}
         else:
-            conv_feats = jnp.zeros((B, 1, cfg.rnn_size), jnp.float32)
-            p_conv_feats = jnp.zeros((B, 1, cfg.att_hid_size), jnp.float32)
+            conv_feats = jnp.zeros((B, 1, cfg.rnn_size), dt)
+            p_conv_feats = jnp.zeros((B, 1, cfg.att_hid_size), dt)
             new_bn_state = bn_state
 
         return {
@@ -314,7 +323,7 @@ class GVDModel:
         return [pool_feats, pool_feats]
 
     def init_state(self, batch_size: int) -> CoreState:
-        z = jnp.zeros((batch_size, self.cfg.rnn_size), jnp.float32)
+        z = jnp.zeros((batch_size, self.cfg.rnn_size), self.dtype)
         return CoreState(z, z, z, z)
 
     # ------------------------------------------------------------------ #
@@ -323,11 +332,13 @@ class GVDModel:
 
     def embed_words(self, params, ids, *, train: bool, rng=None):
         x = jax.nn.relu(embedding(params["embed"], ids))
-        return dropout(rng, x, self.cfg.drop_prob_lm, train=train)
+        return dropout(rng, x, self.cfg.drop_prob_lm,
+                       train=train).astype(self.dtype)
 
     def embed_vis_words(self, params, ids, *, train: bool, rng=None):
         x = jax.nn.relu(embedding(params["vis_embed"], ids))
-        return dropout(rng, x, self.cfg.drop_prob_lm, train=train)
+        return dropout(rng, x, self.cfg.drop_prob_lm,
+                       train=train).astype(self.dtype)
 
     # ------------------------------------------------------------------ #
     # MLE / GRD forward (model.py:283-489)
@@ -458,7 +469,8 @@ class GVDModel:
         frm_mask_output = jnp.moveaxis(step_pnt, 0, 1)         # (sb, L, R+1)
 
         decoded = jax.nn.log_softmax(
-            linear(p["logit"], rnn_output), axis=2)            # (sb, L, V)
+            linear(p["logit"], rnn_output).astype(jnp.float32),
+            axis=2)                                            # (sb, L, V)
 
         # grounding scorer over the target's visual words
         # (model.py:467-480)
@@ -538,7 +550,8 @@ class GVDModel:
                 enc["p_conv_feats"], enc["pool_feats"], enc["p_pool_feats"],
                 pnt_mask, pnt_mask, state, train=False)
             logprobs = jax.nn.log_softmax(
-                beta * linear(p["logit"], out), axis=1)
+                beta * linear(p["logit"], out).astype(jnp.float32),
+                axis=1)
             if sample_max:
                 # UNK-suppressed argmax (model.py:589-594)
                 top2_val, top2_idx = jax.lax.top_k(logprobs, 2)

@@ -133,24 +133,47 @@ def birnn_init(key, in_dim: int, hidden: int, num_layers: int, mode: str) -> Par
 
 
 def _scan_dir(cell_fn, p, xs, hidden, reverse: bool):
-    B = xs.shape[0]
+    """One direction of a recurrent layer.
+
+    TPU optimization: the input projection (W_i @ x_t for every t) has
+    no sequential dependency, so it is hoisted out of the scan into a
+    single large (B*T, D) x (D, gates) MXU matmul; the scan body only
+    carries the hidden-to-hidden matmul and the gate nonlinearity —
+    roughly halving the latency-bound sequential work.
+    """
+    B, T, D = xs.shape
     h0 = jnp.zeros((B, hidden), xs.dtype)
 
     if cell_fn is lstm_cell:
+        gi_all = jnp.dot(xs, p["wi"].astype(xs.dtype)) \
+            + p["b"].astype(xs.dtype)                    # (B, T, 4H)
         carry0 = (h0, h0)
 
-        def step(carry, x):
-            _, new = lstm_cell(p, x, carry)
-            return new, new[0]
+        def step(carry, gi):
+            h, c = carry
+            gates = gi + jnp.dot(h, p["wh"].astype(gi.dtype))
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
     else:
+        gi_all = jnp.dot(xs, p["wi"].astype(xs.dtype)) \
+            + p["bi"].astype(xs.dtype)                   # (B, T, 3H)
         carry0 = h0
 
-        def step(carry, x):
-            h = _gru_cell(p, x, carry)
-            return h, h
+        def step(h, gi):
+            gh = jnp.dot(h, p["wh"].astype(gi.dtype)) + p["bh"].astype(
+                gi.dtype)
+            ir, iz, in_ = jnp.split(gi, 3, axis=-1)
+            hr, hz, hn = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(ir + hr)
+            z = jax.nn.sigmoid(iz + hz)
+            n = jnp.tanh(in_ + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
 
-    xs_t = jnp.swapaxes(xs, 0, 1)  # (T, B, D)
-    _, ys = jax.lax.scan(step, carry0, xs_t, reverse=reverse)
+    gi_t = jnp.swapaxes(gi_all, 0, 1)  # (T, B, gates)
+    _, ys = jax.lax.scan(step, carry0, gi_t, reverse=reverse)
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -175,10 +198,12 @@ def birnn(p: Params, x: jnp.ndarray, *, mode: str, hidden: int,
 
 def layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Parameter-free layer norm over the last axis (F.layer_norm with
-    default weight/bias — matches model.py:307-308, 363-364)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    default weight/bias — matches model.py:307-308, 363-364).
+    Statistics always in f32 (safe under bfloat16 compute)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def layer_norm_params_init(dim: int) -> Params:
@@ -215,8 +240,9 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray, *,
                train: bool, momentum: float = 0.1, eps: float = 1e-5):
     """x: (B, T, C); returns (y, new_state)."""
     if train:
-        mean = jnp.mean(x, axis=(0, 1))
-        var = jnp.var(x, axis=(0, 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1))
+        var = jnp.var(x32, axis=(0, 1))
         n = x.shape[0] * x.shape[1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

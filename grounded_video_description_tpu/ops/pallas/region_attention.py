@@ -30,22 +30,26 @@ MIN_VALUE = -1e8
 def _kernel(p_pool_ref, att_h_ref, pool_ref, alpha_w_ref, alpha_b_ref,
             att_mask_ref, pnt_mask_ref, att_res_ref, grd_ref):
     # block shapes: p_pool (1, R, H); att_h (1, 1, H); pool (1, R, D);
-    # alpha_w (H, 1); alpha_b (1, 1); masks (1, 1, R) float (1 = masked)
+    # alpha_w (1, H); alpha_b (1, 1); masks (1, R, 1) float (1 = masked)
+    #
+    # Layout rule: the R axis stays on sublanes end to end — scores are
+    # an (R, 1) column and never transpose to a row (lane<->sublane
+    # relayouts and M=1/N=1 MXU matmuls both lower catastrophically in
+    # Mosaic).  Score head and weighted pool are VPU reductions.
     dot = jnp.tanh(p_pool_ref[0] + att_h_ref[0])              # (R, H)
-    scores = jnp.dot(dot, alpha_w_ref[:],
-                     preferred_element_type=jnp.float32)       # (R, 1)
-    scores = (scores + alpha_b_ref[0, 0]).reshape(1, -1)       # (1, R)
+    scores = jnp.sum(dot * alpha_w_ref[:], axis=1,
+                     keepdims=True) + alpha_b_ref[0, 0]        # (R, 1)
 
     att_masked = jnp.where(att_mask_ref[0] != 0, MIN_VALUE, scores)
     grd_ref[0] = jnp.where(pnt_mask_ref[0] != 0, MIN_VALUE, att_masked)
 
-    # masked softmax over R
-    m = jnp.max(att_masked, axis=1, keepdims=True)
+    # masked softmax over R (sublane reduction)
+    m = jnp.max(att_masked, axis=0, keepdims=True)
     e = jnp.exp(att_masked - m)
-    w = e / jnp.sum(e, axis=1, keepdims=True)                  # (1, R)
+    w = e / jnp.sum(e, axis=0, keepdims=True)                  # (R, 1)
 
-    att_res_ref[0] = jnp.dot(w, pool_ref[0],
-                             preferred_element_type=jnp.float32)  # (1, D)
+    # weighted pool: (R, 1) * (R, D) summed over R -> (1, D)
+    att_res_ref[0] = jnp.sum(w * pool_ref[0], axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -76,8 +80,8 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
         pnt_mask = jnp.concatenate([pnt_mask, mask_pad], axis=1)
 
     alpha_b = jnp.asarray(alpha_b, f32).reshape(1, 1)
-    att_mask_f = att_mask.astype(f32)[:, None, :]   # (B, 1, Rp)
-    pnt_mask_f = pnt_mask.astype(f32)[:, None, :]
+    att_mask_f = att_mask.astype(f32)[:, :, None]   # (B, Rp, 1)
+    pnt_mask_f = pnt_mask.astype(f32)[:, :, None]
     att_h3 = att_h.astype(f32)[:, None, :]          # (B, 1, H)
 
     grid = (B,)
@@ -91,29 +95,29 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Rp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 1), lambda b: (0, 0),
+            pl.BlockSpec((1, H), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Rp), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Rp), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Rp), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, D), f32),
-            jax.ShapeDtypeStruct((B, 1, Rp), f32),
+            jax.ShapeDtypeStruct((B, Rp, 1), f32),
         ],
         interpret=interpret,
     )(p_pool_feats.astype(f32), att_h3,
-      pool_feats.astype(f32), jnp.asarray(alpha_w, f32), alpha_b,
+      pool_feats.astype(f32), jnp.asarray(alpha_w, f32).reshape(1, -1), alpha_b,
       att_mask_f, pnt_mask_f)
 
     att_res, grd = out
-    return att_res[:, 0], grd[:, 0, :R]
+    return att_res[:, 0], grd[:, :R, 0]
