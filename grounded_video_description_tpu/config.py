@@ -70,6 +70,8 @@ class GVDConfig:
     drop_prob_lm: float = 0.5
     seq_per_img: int = 1
     seq_length: int = 20
+    loc_drop: float = 0.5   # loc_fc dropout (nn.Dropout default, model.py:75-77)
+    enc_drop: float = 0.2   # context-enc / obj_interact dropout (model.py:128-148)
     beam_size: int = 1
     optim: str = "adam"                 # sgd | adam | adamax
     learning_rate: float = 5e-4
@@ -251,6 +253,8 @@ def tiny_test_config(**overrides) -> GVDConfig:
         detect_size=10,
         max_gt_box=6,
         drop_prob_lm=0.0,
+        loc_drop=0.0,
+        enc_drop=0.0,
     )
     base.update(overrides)
     return GVDConfig(**base).validate()

@@ -76,6 +76,9 @@ class Evaluator:
         n_caps = 0
         t0 = time.time()
         for batch in loader:
+            # optional cap on evaluated segments (opts.py:142-143)
+            if 0 < cfg.val_images_use <= n_caps:
+                break
             seg_ids = batch["seg_id"]
             arrays = {k: v for k, v in batch.items() if k != "seg_id"}
             out = self.generate(variables, arrays)

@@ -207,7 +207,7 @@ class GVDModel:
                  ppls[:, :, 4:5] / cfg.num_sampled_frm],
                 axis=-1).astype(dt)
             loc_feats = jax.nn.relu(linear(p["loc_fc"], loc_input))
-            loc_feats = dropout(r[3], loc_feats, 0.5, train=train)
+            loc_feats = dropout(r[3], loc_feats, cfg.loc_drop, train=train)
             label_feat = jnp.swapaxes(sim_mat_static, 1,
                                       2).astype(dt)            # (B, R, C+1)
             pool_cat = jnp.concatenate(
@@ -223,8 +223,8 @@ class GVDModel:
 
         if "obj_interact" in p:
             pool_feats = xf.encoder_apply(
-                p["obj_interact"], pool_feats, n_heads=6, drop=0.2,
-                train=train, rng=r[6])[-1]
+                p["obj_interact"], pool_feats, n_heads=6,
+                drop=cfg.enc_drop, train=train, rng=r[6])[-1]
 
         p_pool_feats = linear(p["ctx2pool"], pool_feats)
 
@@ -242,7 +242,8 @@ class GVDModel:
                 p["att_embed_aux"], bn_state["bn"], conv, train=train)
             conv = jax.nn.relu(conv)
             conv = birnn(p["context_enc"], conv, mode=cfg.t_attn_mode,
-                         hidden=cfg.rnn_size // 2, dropout_rate=0.2,
+                         hidden=cfg.rnn_size // 2,
+                         dropout_rate=cfg.enc_drop,
                          train=train, rng=r[9])
             # zero frames outside the segment window (model.py:303-305, 401)
             t_ids = jnp.arange(cfg.t_attn_size)[None, :]
@@ -409,8 +410,8 @@ class GVDModel:
             encodings = self._transformer_encodings(
                 p, conv_feats, pool_feats)
             lm_loss = xf.decoder_xe_loss(
-                p["cap_model"], encodings, seq, n_heads=6, drop=0.2,
-                train=train, rng=r[4])
+                p["cap_model"], encodings, seq, n_heads=6,
+                drop=cfg.enc_drop, train=train, rng=r[4])
             zero = jnp.zeros(())
             return ({"lm_loss": lm_loss, "att2_loss": zero,
                      "ground_loss": zero, "cls_loss": zero}, new_bn)

@@ -174,7 +174,9 @@ def decoder_apply(p, tokens: jnp.ndarray, encodings: List[jnp.ndarray], *,
                   rng=None) -> jnp.ndarray:
     """Teacher-forced decoder pass -> (B, T, d_model) hidden states."""
     d_model = encodings[0].shape[-1]
-    embed_w = p["out"]["w"] * math.sqrt(d_model)     # tied (transformer.py:207)
+    # tied embedding = transposed output projection, scaled
+    # (transformer.py:207; our linear stores (in, out))
+    embed_w = p["out"]["w"].T * math.sqrt(d_model)   # (vocab, d_model)
     x = jnp.take(embed_w, tokens, axis=0)
     x = x + positional_encodings(x.shape[1], d_model, x.dtype)[None]
     r0, rng = (jax.random.split(rng) if rng is not None else (None, None))
@@ -218,7 +220,7 @@ def decoder_greedy(p, encodings: List[jnp.ndarray], T: int, *,
     B = encodings[0].shape[0]
     H = encodings[0].shape[-1]
     n_layers = len(p["layers"])
-    embed_w = p["out"]["w"] * math.sqrt(H)
+    embed_w = p["out"]["w"].T * math.sqrt(H)         # (vocab, H), tied
     pe = positional_encodings(T, H, encodings[0].dtype)
 
     hiddens0 = jnp.zeros((n_layers + 1, B, T, H), encodings[0].dtype)

@@ -99,6 +99,10 @@ def main(argv=None):
     evaluator = Evaluator(cfg, model, vocab)
     best_val = infos.get("best_val_score")
     start_epoch = infos.get("epoch", 0)
+    # loss/LR/val histories persisted with the checkpoint
+    # (reference histories_*.pkl, main.py:718-732)
+    histories = infos.get("histories",
+                          {"loss": {}, "lr": {}, "val": {}})
 
     for epoch in range(start_epoch, cfg.max_epochs):
         if not cfg.inference_only:
@@ -107,6 +111,8 @@ def main(argv=None):
             print(f"epoch {epoch}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in train_metrics.items()))
             logger.log({"epoch": epoch, **train_metrics})
+            histories["loss"][str(epoch)] = train_metrics.get("loss")
+            histories["lr"][str(epoch)] = trainer.lr_at_epoch(epoch)
 
         if epoch % cfg.val_every_epoch == 0 or cfg.inference_only:
             variables_now = {"params": state.params,
@@ -126,9 +132,11 @@ def main(argv=None):
             best_flag = best_val is None or current > best_val
             if best_flag:
                 best_val = current
+            histories["val"][str(epoch)] = stats
             ckpt.save(state, {"epoch": epoch + 1,
                               "best_val_score": best_val,
-                              "vocab_size": cfg.vocab_size},
+                              "vocab_size": cfg.vocab_size,
+                              "histories": histories},
                       best=best_flag)
             print(f"checkpoint saved (best={best_flag}, "
                   f"CIDEr={current:.4f})")

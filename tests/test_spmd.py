@@ -1,0 +1,59 @@
+"""Explicit shard_map training step: runs on the 8-device mesh and
+tracks the jit-propagation step closely (masked means are averaged
+per-shard then pmean'd — the same reduction semantics as the
+reference's nn.DataParallel, main.py:238-255)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grounded_video_description_tpu.config import tiny_test_config
+from grounded_video_description_tpu.data import synthetic_batch
+from grounded_video_description_tpu.engine import Trainer
+from grounded_video_description_tpu.parallel import make_mesh, shard_batch
+from grounded_video_description_tpu.parallel.spmd import (
+    make_shardmap_train_step)
+
+requires_8 = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 devices")
+
+
+@requires_8
+def test_shardmap_step_matches_jit_step():
+    # sgd so the update is proportional to the gradient (adam's
+    # per-coordinate normalization amplifies the per-shard
+    # masked-mean weighting difference into sign flips)
+    cfg = tiny_test_config(vocab_size=64, batch_size=8,
+                           w_att2=0.05, w_cls=0.1, optim="sgd",
+                           learning_rate_decay_start=-1)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, 8, seed=4).items() if k != "seg_id"}
+    rng = jax.random.PRNGKey(0)
+
+    jit_step = trainer.make_train_step(donate=False)
+    p_jit, _, _, m_jit = jit_step(
+        state.params, state.model_state, state.opt_state, batch, rng,
+        cfg.learning_rate)
+
+    mesh = make_mesh((8, 1), ("data", "model"))
+    sm_step = make_shardmap_train_step(trainer, mesh)
+    sharded = shard_batch(mesh, batch)
+    p_sm, _, _, m_sm = sm_step(
+        state.params, state.model_state, state.opt_state, sharded, rng,
+        cfg.learning_rate)
+
+    # per-shard masked means vs global masked mean: equal up to
+    # caption-length imbalance across shards (DataParallel semantics)
+    assert abs(float(m_jit["loss"]) - float(m_sm["loss"])) \
+        / abs(float(m_jit["loss"])) < 0.05
+    # parameters move in the same direction with comparable magnitude
+    d_jit = np.array(p_jit["logit"]["w"]) - np.array(
+        state.params["logit"]["w"])
+    d_sm = np.array(p_sm["logit"]["w"]) - np.array(
+        state.params["logit"]["w"])
+    cos = (d_jit * d_sm).sum() / (
+        np.linalg.norm(d_jit) * np.linalg.norm(d_sm))
+    assert cos > 0.98, cos
