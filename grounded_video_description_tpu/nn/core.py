@@ -177,15 +177,68 @@ def _scan_dir(cell_fn, p, xs, hidden, reverse: bool):
     return jnp.swapaxes(ys, 0, 1)
 
 
+def _scan_bidir(mode: str, lp, xs, hidden):
+    """Both directions of one layer in a single scan: the backward
+    lane consumes time-reversed inputs, so one T-step scan replaces
+    two — halving the latency-bound sequential chain.  Per step the
+    two directions' hidden matmuls run as one batched einsum."""
+    B, T, D = xs.shape
+    fwd, bwd = lp["fwd"], lp["bwd"]
+    dtypef = xs.dtype
+
+    wi = jnp.stack([fwd["wi"], bwd["wi"]]).astype(dtypef)      # (2, D, G)
+    wh = jnp.stack([fwd["wh"], bwd["wh"]]).astype(dtypef)      # (2, H, G)
+    if mode == "bigru":
+        bi = jnp.stack([fwd["bi"], bwd["bi"]]).astype(dtypef)
+        bh = jnp.stack([fwd["bh"], bwd["bh"]]).astype(dtypef)
+    else:
+        bi = jnp.stack([fwd["b"], bwd["b"]]).astype(dtypef)
+
+    gi = jnp.einsum("btd,kdg->tkbg", xs, wi)                   # (T,2,B,G)
+    gi = gi + (bi[None, :, None, :] if mode == "bigru"
+               else bi[None, :, None, :])
+    gi = gi.at[:, 1].set(gi[::-1, 1])      # reverse time for bwd lane
+
+    h0 = jnp.zeros((2, B, hidden), dtypef)
+
+    if mode == "bigru":
+        def step(h, gi_t):
+            gh = jnp.einsum("kbh,khg->kbg", h, wh) \
+                + bh[:, None, :]
+            ir, iz, in_ = jnp.split(gi_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(ir + hr)
+            z = jax.nn.sigmoid(iz + hz)
+            n = jnp.tanh(in_ + r * hn)
+            h_new = (1.0 - z) * n + z * h
+            return h_new, h_new
+
+        carry0 = h0
+        _, ys = jax.lax.scan(step, carry0, gi)
+    else:
+        def step(carry, gi_t):
+            h, c = carry
+            gates = gi_t + jnp.einsum("kbh,khg->kbg", h, wh)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        _, ys = jax.lax.scan(step, (h0, h0), gi)
+
+    # ys: (T, 2, B, H); un-reverse the backward lane
+    fwd_out = ys[:, 0]                                        # (T, B, H)
+    bwd_out = ys[::-1, 1]
+    out = jnp.concatenate([fwd_out, bwd_out], axis=-1)        # (T, B, 2H)
+    return jnp.swapaxes(out, 0, 1)
+
+
 def birnn(p: Params, x: jnp.ndarray, *, mode: str, hidden: int,
           dropout_rate: float = 0.0, train: bool = False, rng=None) -> jnp.ndarray:
-    cell_fn = _gru_cell if mode == "bigru" else lstm_cell
     out = x
     n_layers = len(p["layers"])
     for li, lp in enumerate(p["layers"]):
-        fwd = _scan_dir(cell_fn, lp["fwd"], out, hidden, reverse=False)
-        bwd = _scan_dir(cell_fn, lp["bwd"], out, hidden, reverse=True)
-        out = jnp.concatenate([fwd, bwd], axis=-1)
+        out = _scan_bidir(mode, lp, out, hidden)
         if train and dropout_rate > 0.0 and li < n_layers - 1 and rng is not None:
             rng, sub = jax.random.split(rng)
             out = dropout(sub, out, dropout_rate, train=True)

@@ -37,6 +37,32 @@ def test_overfit_tiny_batch():
     assert loss < first_loss * 0.5, (first_loss, loss)
 
 
+def test_overfit_then_greedy_reproduces_captions():
+    """End-to-end learning check: after overfitting one tiny batch the
+    greedy decode must emit exactly the training captions."""
+    cfg = tiny_test_config(learning_rate=3e-3,
+                           learning_rate_decay_start=-1)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    step = trainer.make_train_step(donate=False)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(cfg, 2, seed=5).items() if k != "seg_id"}
+    rng = jax.random.PRNGKey(0)
+    from grounded_video_description_tpu.engine.trainer import TrainState
+    for _ in range(250):
+        rng, sub = jax.random.split(rng)
+        p, ms, os_, m = step(state.params, state.model_state,
+                             state.opt_state, batch, sub,
+                             cfg.learning_rate)
+        state = TrainState(p, ms, os_, state.step + 1)
+    model = trainer.model
+    seq, *_ = jax.jit(model.sample_greedy)(
+        {"params": state.params, "state": state.model_state}, batch)
+    gt = np.array(batch["gt_seq"][:, 0, :])
+    match = (np.array(seq) == gt) | (gt == 0)
+    assert match.mean() == 1.0, (np.array(seq), gt)
+
+
 def test_lr_schedule():
     cfg = tiny_test_config(learning_rate=1.0,
                            learning_rate_decay_start=1,
