@@ -123,6 +123,7 @@ class GVDConfig:
     # ---- populated from the dataset at build time (main.py:599-613) ----
     vocab_size: int = 0
     detect_size: int = 0
+    unk_idx: int = -1       # -1 -> vocab_size - 1 (UNK appended last)
     max_gt_box: int = 100
     test_mode: bool = False
 

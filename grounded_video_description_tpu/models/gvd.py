@@ -60,7 +60,10 @@ class GVDModel:
         # grounder head style (model.py:55-58): additive only for
         # region_attn_mode add/cat; 'mix'/'mix_mul'/'dp' -> dot-product.
         self.grounder_additive = cfg.region_attn_mode in ("add", "cat")
-        self.unk_idx = cfg.vocab_size - 1  # UNK is the last vocab entry
+        # UNK suppression target (model.py:53): vocab builds append
+        # UNK last, overridable via cfg.unk_idx for foreign vocabs
+        self.unk_idx = (cfg.unk_idx if cfg.unk_idx >= 0
+                        else cfg.vocab_size - 1)
         # compute dtype: bfloat16 keeps the MXU fed at 2x f32 rate;
         # losses / softmaxes / statistics stay f32
         self.dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"

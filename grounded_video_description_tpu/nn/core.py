@@ -214,7 +214,9 @@ def _scan_bidir(mode: str, lp, xs, hidden):
             return h_new, h_new
 
         carry0 = h0
-        _, ys = jax.lax.scan(step, carry0, gi)
+        # unroll amortizes per-iteration loop overhead over the long
+        # (480-step) latency-bound chain
+        _, ys = jax.lax.scan(step, carry0, gi, unroll=8)
     else:
         def step(carry, gi_t):
             h, c = carry
@@ -224,7 +226,7 @@ def _scan_bidir(mode: str, lp, xs, hidden):
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
-        _, ys = jax.lax.scan(step, (h0, h0), gi)
+        _, ys = jax.lax.scan(step, (h0, h0), gi, unroll=8)
 
     # ys: (T, 2, B, H); un-reverse the backward lane
     fwd_out = ys[:, 0]                                        # (T, B, H)

@@ -17,6 +17,9 @@ import json
 import os
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gvd_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 import numpy as np
 
 
@@ -33,8 +36,10 @@ def build_model_and_vocab(cfg):
     dataset = AnetDataset(cfg, split=cfg.train_split)
     dataset_val = AnetDataset(cfg, split=cfg.val_split)
     vocab = dataset.vocab
+    unk = int(vocab.wtoi.get("UNK", vocab.vocab_size - 1))
     cfg = cfg.replace(vocab_size=vocab.vocab_size,
-                      detect_size=vocab.detect_size)
+                      detect_size=vocab.detect_size,
+                      unk_idx=unk)
 
     model = GVDModel(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(cfg.seed))
