@@ -252,12 +252,16 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  seed: int = 0, drop_last: bool = True,
-                 num_threads: int = 4):
+                 pad_last: bool = False, num_threads: int = 4):
+        """pad_last: repeat items to fill the final partial batch so
+        every batch has the same static shape (no recompile); the
+        batch carries 'n_valid' for the consumer to truncate."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self.num_threads = num_threads
         self.epoch = 0
 
@@ -278,7 +282,14 @@ class Loader:
         def worker():
             for b in range(nb):
                 sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(collate([self.dataset[int(i)] for i in sel]))
+                n_valid = len(sel)
+                if self.pad_last and n_valid < self.batch_size:
+                    sel = np.concatenate(
+                        [sel, np.repeat(sel[-1:],
+                                        self.batch_size - n_valid)])
+                batch = collate([self.dataset[int(i)] for i in sel])
+                batch["n_valid"] = n_valid
+                q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

@@ -79,15 +79,17 @@ class Evaluator:
             # optional cap on evaluated segments (opts.py:142-143)
             if 0 < cfg.val_images_use <= n_caps:
                 break
-            seg_ids = batch["seg_id"]
-            arrays = {k: v for k, v in batch.items() if k != "seg_id"}
+            n_valid = batch.get("n_valid", len(batch["seg_id"]))
+            seg_ids = batch["seg_id"][:n_valid]
+            arrays = {k: v for k, v in batch.items()
+                      if k not in ("seg_id", "n_valid")}
             out = self.generate(variables, arrays)
-            seq = out["seq"]
-            n_caps += seq.shape[0]
+            seq = out["seq"][:n_valid]
+            n_caps += n_valid
 
             if cfg.eval_obj_grounding and "att2_weights" in out:
                 # per-frame argmax box per generated word (main.py:361-384)
-                att2_ind = out["att2_weights"].reshape(
+                att2_ind = out["att2_weights"][:n_valid].reshape(
                     seq.shape[0], seq.shape[1], cfg.num_sampled_frm,
                     cfg.num_prop_per_frm).argmax(-1)
                 ppls = np.array(arrays["ppls"]).reshape(
@@ -232,14 +234,16 @@ class Evaluator:
         cls_pairs: List[np.ndarray] = []
 
         for batch in loader:
-            seg_ids = batch["seg_id"]
-            arrays = {k: v for k, v in batch.items() if k != "seg_id"}
+            n_valid = batch.get("n_valid", len(batch["seg_id"]))
+            seg_ids = batch["seg_id"][:n_valid]
+            arrays = {k: v for k, v in batch.items()
+                      if k not in ("seg_id", "n_valid")}
             out = self._grd(variables, arrays)
-            att2_ind = np.array(out["att2_ind"])   # (B, L, n_frm)
-            grd_ind = np.array(out["grd_ind"])
-            sim_target = np.array(out["sim_target"])  # (B, K, R)
-            pred_cls = np.array(out["pred_cls"])      # (B, R)
-            input_seq = np.array(arrays["input_seq"])
+            att2_ind = np.array(out["att2_ind"])[:n_valid]  # (B, L, n_frm)
+            grd_ind = np.array(out["grd_ind"])[:n_valid]
+            sim_target = np.array(out["sim_target"])[:n_valid]  # (B, K, R)
+            pred_cls = np.array(out["pred_cls"])[:n_valid]      # (B, R)
+            input_seq = np.array(arrays["input_seq"])[:n_valid]
             ppls = np.array(arrays["ppls"]).reshape(
                 -1, cfg.num_sampled_frm, cfg.num_prop_per_frm, 7)
 

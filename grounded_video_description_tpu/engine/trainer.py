@@ -160,7 +160,8 @@ class Trainer:
         n = 0
         t0 = time.time()
         for batch in loader:
-            batch = {k: v for k, v in batch.items() if k != "seg_id"}
+            batch = {k: v for k, v in batch.items()
+                     if k not in ("seg_id", "n_valid")}
             self.rng, sub = jax.random.split(self.rng)
             params, mstate, ostate, metrics = step_fn(
                 state.params, state.model_state, state.opt_state,

@@ -85,7 +85,7 @@ def main(argv=None):
 
     loader = Loader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed)
     loader_val = Loader(dataset_val, cfg.batch_size, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, pad_last=True)
 
     trainer = Trainer(cfg, model)
     state = trainer.init_state(params=variables["params"],
