@@ -117,6 +117,7 @@ class GVDConfig:
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     donate_buffers: bool = True
+    remat: bool = True          # jax.checkpoint the decode scan + obj_interact in training (memory for FLOPs)
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
 

@@ -225,9 +225,16 @@ class GVDModel:
         pool_feats = dropout(r[5], pool_feats, drop, train=train)
 
         if "obj_interact" in p:
-            pool_feats = xf.encoder_apply(
-                p["obj_interact"], pool_feats, n_heads=6,
-                drop=cfg.enc_drop, train=train, rng=r[6])[-1]
+            def _obj_interact(pf):
+                return xf.encoder_apply(
+                    p["obj_interact"], pf, n_heads=6,
+                    drop=cfg.enc_drop, train=train, rng=r[6])[-1]
+
+            if train and cfg.remat:
+                # the (B, R, R) attention intermediates dominate
+                # training memory; recompute them in the backward pass
+                _obj_interact = jax.checkpoint(_obj_interact)
+            pool_feats = _obj_interact(pool_feats)
 
         p_pool_feats = linear(p["ctx2pool"], pool_feats)
 
@@ -379,8 +386,16 @@ class GVDModel:
         seq = jnp.concatenate([jnp.zeros((sb, 1), jnp.int32), seq], axis=1)
         iseq = input_seq.reshape(sb, Lq + 1, 4)
 
-        enc, new_bn = self.encode(p, variables["state"], batch,
-                                  train=train, rng=r[0])
+        if train and self.cfg.remat:
+            # rematerialize the encode stage in the backward pass: the
+            # (B, R, 2780) pool concat and friends dominate residuals
+            enc, new_bn = jax.checkpoint(
+                lambda pp, st, bb: self.encode(pp, st, bb, train=train,
+                                               rng=r[0]))(
+                p, variables["state"], batch)
+        else:
+            enc, new_bn = self.encode(p, variables["state"], batch,
+                                      train=train, rng=r[0])
 
         # overlaps with frame+proposal masking (model.py:317-318)
         overlaps = bbox_overlaps(
@@ -464,8 +479,13 @@ class GVDModel:
 
         xs = (xt_steps, step_pnt, step_rngs) if step_rngs is not None \
             else (xt_steps, step_pnt)
+        body = scan_step
+        if train and cfg.remat:
+            # per-step region-attention activations are recomputed in
+            # the backward pass instead of stored for all 20 steps
+            body = jax.checkpoint(scan_step)
         _, (outs, att2_ws, att_hs) = jax.lax.scan(
-            scan_step, self.init_state(sb), xs)
+            body, self.init_state(sb), xs)
 
         rnn_output = jnp.moveaxis(outs, 0, 1)                  # (sb, L, rnn)
         att2_weights = jnp.moveaxis(att2_ws, 0, 1)             # (sb, L, R)
