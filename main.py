@@ -94,11 +94,19 @@ def main(argv=None):
     logger = MetricLogger(cfg.log_jsonl)
 
     infos = {"epoch": 0, "best_val_score": None}
-    if cfg.start_from:
-        resume = CheckpointManager(cfg.start_from)
-        state, infos = resume.restore(
-            state, load_best=cfg.load_best_score == 1)
-        print(f"resumed from {cfg.start_from} at epoch "
+    resume_dir = cfg.start_from
+    if not resume_dir and os.path.isdir(
+            os.path.join(cfg.checkpoint_path, "model")):
+        # crash/preemption recovery: pick up the run in progress
+        # (the reference required a manual --start_from, opts.py:111)
+        resume_dir = cfg.checkpoint_path
+    if resume_dir:
+        resume = CheckpointManager(resume_dir)
+        # crash recovery continues from the LATEST state; explicit
+        # --start_from honors --load_best_score (main.py:622-628)
+        load_best = (cfg.load_best_score == 1) if cfg.start_from else False
+        state, infos = resume.restore(state, load_best=load_best)
+        print(f"resumed from {resume_dir} at epoch "
               f"{infos.get('epoch', 0)}")
 
     evaluator = Evaluator(cfg, model, vocab)
