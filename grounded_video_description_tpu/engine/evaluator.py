@@ -87,6 +87,10 @@ class Evaluator:
             seq = out["seq"][:n_valid]
             n_caps += n_valid
 
+            if cfg.eval_obj_grounding and "att2_weights" not in out \
+                    and n_caps <= len(seg_ids):
+                print("[eval] grounding extraction requires beam_size=1 "
+                      "(main.py:362); skipping for beam search")
             if cfg.eval_obj_grounding and "att2_weights" in out:
                 # per-frame argmax box per generated word (main.py:361-384)
                 att2_ind = out["att2_weights"][:n_valid].reshape(

@@ -546,6 +546,8 @@ class GVDModel:
         sim_mat_static (B,C+1,R))."""
         cfg = self.cfg
         p = variables["params"]
+        if not sample_max and rng is None:
+            raise ValueError("stochastic sampling requires rng")
         enc, _ = self.encode(p, variables["state"], batch,
                              train=False, rng=None)
         pnt_mask = enc["pnt_mask"]

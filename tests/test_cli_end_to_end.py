@@ -85,6 +85,25 @@ def test_cli_train_eval_checkpoint(synth_root, tmp_path):
         assert len(any_seg["bbox_for_all_frames"][0]) == cfg.num_sampled_frm
 
 
+def test_cli_beam_inference(synth_root, tmp_path):
+    """Beam-search decoding through the full CLI eval pipeline."""
+    import main as cli
+
+    root, cfg, paths = synth_root
+    argv = _argv(cfg, paths, [
+        "--checkpoint_path", str(tmp_path / "save_beam"),
+        "--inference_only", "--language_eval",
+        "--beam_size", "2", "--id", "cibeam",
+    ])
+    assert cli.main(argv) == 0
+    sub = "densecap_results/densecap-validation-cibeam.json"
+    with open(sub) as f:
+        dc = json.load(f)
+    # every val segment captioned
+    n = sum(len(v) for v in dc["results"].values())
+    assert n == 8
+
+
 def test_cli_inference_only_resume(synth_root, tmp_path):
     import main as cli
 
