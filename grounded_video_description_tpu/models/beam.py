@@ -46,25 +46,18 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
     R = Rp1 - 1
     V = cfg.vocab_size
 
-    def exp(x):
-        return jnp.repeat(x, W, axis=0)
-
-    fc = exp(enc["fc_feats"])
-    conv = exp(enc["conv_feats"])
-    p_conv = exp(enc["p_conv_feats"])
-    pool = exp(enc["pool_feats"])
-    p_pool = exp(enc["p_pool_feats"])
-    mask = exp(pnt_mask)
-
+    # attention banks stay (B, ...) — shared across beams by
+    # core_step_beam instead of W-fold tiling
     def core(xt, state):
-        return model.core_step(
-            params["core"], xt, fc, conv, p_conv, pool, p_pool,
-            mask, mask, state, train=False)
+        return model.core_step_beam(
+            params["core"], xt, enc["fc_feats"], enc["conv_feats"],
+            enc["p_conv_feats"], enc["pool_feats"], enc["p_pool_feats"],
+            pnt_mask, state, W)
 
     # initial BOS step (model.py:723-733)
     it0 = jnp.zeros((B * W,), jnp.int32)
     xt0 = model.embed_words(params, it0, train=False)
-    rnn_out, state, att2_w, _ = core(xt0, model.init_state(B * W))
+    rnn_out, state, att2_w = core(xt0, model.init_state(B * W))
     att2_first = jnp.argmax(att2_w.reshape(B, W, R)[:, 0], axis=-1)  # (B,)
     att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
 
@@ -144,7 +137,7 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
 
         # advance all beams one core step
         xt = model.embed_words(params, word.reshape(B * W), train=False)
-        rnn_out, state, att2_w, _ = core(xt, state)
+        rnn_out, state, att2_w = core(xt, state)
         att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
 
         return dict(state=state, rnn_out=rnn_out, att2_ind=att2_ind,

@@ -322,6 +322,56 @@ class GVDModel:
         new_state = CoreState(h_att_, c_att, h_lang_, c_lang)
         return output, new_state, att2_weight, att_h
 
+    def core_step_beam(self, core: Dict, xt, fc_feats, conv_feats,
+                       p_conv_feats, pool_feats, p_pool_feats, pnt_mask,
+                       state: CoreState, W: int):
+        """TopDown core step for beam search with SHARED attention
+        banks: per-beam state is (B*W, ...) but the conv/pool banks
+        stay (B, ...) — the reference (and our jit path) would tile
+        them W-fold (model.py:710-718).  Identical math."""
+        cfg = self.cfg
+        B = fc_feats.shape[0]
+        fc_bw = jnp.broadcast_to(
+            fc_feats[:, None], (B, W, fc_feats.shape[-1])
+        ).reshape(B * W, -1)
+        att_in = jnp.concatenate([fc_bw, xt], axis=1)
+        h_att, (h_att_, c_att) = lstm_cell(
+            core["att_lstm"], att_in, (state.h_att, state.c_att))
+        h3 = h_att.reshape(B, W, -1)
+
+        from grounded_video_description_tpu.ops.attention import (
+            region_attention_beam, temporal_attention_beam)
+
+        if cfg.att_input_mode != "region":
+            att = temporal_attention_beam(core["attn"], h3, conv_feats,
+                                          p_conv_feats)
+        att2, att2_w, _ = region_attention_beam(
+            core["attn2"], h3, pool_feats, p_pool_feats,
+            pnt_mask[:, 1:], pnt_mask[:, 1:], mode=cfg.region_attn_mode)
+
+        if cfg.att_input_mode == "both":
+            lang_in = att + att2
+        elif cfg.att_input_mode == "featmap":
+            lang_in = att
+        elif cfg.att_input_mode == "region":
+            lang_in = att2
+        elif cfg.att_input_mode == "dual_region":
+            att2_dual, _, _ = region_attention_beam(
+                core["attn2_dual"], h3, pool_feats, p_pool_feats,
+                pnt_mask[:, 1:], pnt_mask[:, 1:],
+                mode=cfg.region_attn_mode)
+            dual_p = jax.nn.sigmoid(linear(core["dual_pointer"], h3))
+            lang_in = dual_p * att2 + (1.0 - dual_p) * att2_dual
+        else:
+            raise ValueError(cfg.att_input_mode)
+
+        lang_lstm_in = jnp.concatenate(
+            [lang_in.reshape(B * W, -1), h_att], axis=1)
+        h_lang, (h_lang_, c_lang) = lstm_cell(
+            core["lang_lstm"], lang_lstm_in, (state.h_lang, state.c_lang))
+        new_state = CoreState(h_att_, c_att, h_lang_, c_lang)
+        return h_lang, new_state, att2_w.reshape(B * W, -1)
+
     def _transformer_encodings(self, p, conv_feats, pool_feats):
         """Cross-attention memory pair for the 2-layer Masked-Transformer
         captioner: decoder layer i attends encodings[i]

@@ -104,6 +104,53 @@ def region_attention(p, h: jnp.ndarray, pool_feats: jnp.ndarray,
     return att_res, grd_logits, att_h
 
 
+def temporal_attention_beam(p, h: jnp.ndarray, att_feats: jnp.ndarray,
+                            p_att_feats: jnp.ndarray) -> jnp.ndarray:
+    """Beam variant sharing one attention bank across W beams.
+
+    h: (B, W, rnn); att_feats: (B, T, rnn); p_att_feats: (B, T, H).
+    Returns (B, W, rnn).  Identical math to `temporal_attention` on
+    W-replicated banks, without materializing the W copies."""
+    att_h = linear(p["h2att"], h)                         # (B, W, H)
+    dot = jnp.tanh(p_att_feats[:, None] + att_h[:, :, None])
+    scores = linear(p["alpha_net"], dot)[..., 0]          # (B, W, T)
+    weight = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bwt,btd->bwd", weight, att_feats)
+
+
+def region_attention_beam(p, h: jnp.ndarray, pool_feats: jnp.ndarray,
+                          p_pool_feats: jnp.ndarray, att_mask: jnp.ndarray,
+                          pnt_mask: jnp.ndarray, *, mode: str):
+    """Beam variant of `region_attention` with shared banks.
+
+    h: (B, W, rnn); pool/p_pool: (B, R, *); masks: (B, R).
+    Returns (att_res (B, W, rnn), grd_logits (B, W, R), att_h)."""
+    att_h = linear(p["h2att"], h)                         # (B, W, H)
+    if mode in ("add", "mix"):
+        dot = jnp.tanh(p_pool_feats[:, None] + att_h[:, :, None])
+        scores = linear(p["alpha_net"], dot)[..., 0]      # (B, W, R)
+    elif mode == "mix_mul":
+        dot = jnp.tanh(p_pool_feats[:, None] * att_h[:, :, None])
+        scores = linear(p["alpha_net"], dot)[..., 0]
+    elif mode == "cat":
+        B, W, H = att_h.shape
+        R = p_pool_feats.shape[1]
+        dot = jnp.concatenate([
+            jnp.broadcast_to(p_pool_feats[:, None], (B, W, R, H)),
+            jnp.broadcast_to(att_h[:, :, None], (B, W, R, H))], axis=-1)
+        scores = linear(p["alpha_net"], jnp.tanh(dot))[..., 0]
+    elif mode == "dp":
+        scores = jnp.einsum("brh,bwh->bwr", p_pool_feats, att_h)
+    else:
+        raise ValueError(f"unknown region_attn_mode {mode!r}")
+
+    scores = jnp.where(att_mask[:, None], MIN_VALUE, scores)
+    grd_logits = jnp.where(pnt_mask[:, None], MIN_VALUE, scores)
+    weight = jax.nn.softmax(scores, axis=-1)
+    att_res = jnp.einsum("bwr,brd->bwd", weight, pool_feats)
+    return att_res, grd_logits, att_h
+
+
 def grounder(xt: jnp.ndarray, att_feats: jnp.ndarray, mask: jnp.ndarray,
              bias: Optional[jnp.ndarray] = None, *,
              alpha_params=None, additive_cat: bool = False) -> jnp.ndarray:
