@@ -3,16 +3,18 @@
 The hottest decode-time op (SURVEY.md §3: the 1000-ROI attention at
 AttModel.py:96-106 runs every token for every beam): additive scores
 over the projected region bank, dual masking, softmax, and the weighted
-feature pool.  Unfused, this is 4 HBM round-trips of the (R, H) score
-intermediates per step; the kernel keeps everything in VMEM and writes
-only the (D,) pooled feature and (R,) grounding logits.
+feature pool, in one pass over the bank.
 
-Per-program working set at production shapes (R=1024 padded, H=512,
-D=1024, f32): 2 MB p_pool + 4 MB pool + scratch << 16 MB VMEM.
+Kernel layout (v2): grid = (batch tiles of 8 sublanes, ROI tiles of
+256 lanes); a flash-attention-style online softmax carries running
+(max, normalizer, accumulator) in VMEM scratch across the ROI tiles,
+so the full (R, H) tanh intermediate never exists and HBM sees each
+bank element exactly once.  v1 (one program per batch row, scores as
+an (R, 1) column) lowered pathologically in Mosaic and was replaced.
 
 Numerically identical (up to f32 association) to
 `ops.attention.region_attention` modes 'add'/'mix'; parity is tested in
-interpret mode on CPU and on-device in the bench suite.
+interpret mode on CPU (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -25,31 +27,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MIN_VALUE = -1e8
+BT = 8       # batch rows per program (sublane tile)
+RT = 128     # ROIs per grid step (lane tiles; block x2 double-buffer must fit VMEM)
 
 
 def _kernel(p_pool_ref, att_h_ref, pool_ref, alpha_w_ref, alpha_b_ref,
-            att_mask_ref, pnt_mask_ref, att_res_ref, grd_ref):
-    # block shapes: p_pool (1, R, H); att_h (1, 1, H); pool (1, R, D);
-    # alpha_w (1, H); alpha_b (1, 1); masks (1, R, 1) float (1 = masked)
-    #
-    # Layout rule: the R axis stays on sublanes end to end — scores are
-    # an (R, 1) column and never transpose to a row (lane<->sublane
-    # relayouts and M=1/N=1 MXU matmuls both lower catastrophically in
-    # Mosaic).  Score head and weighted pool are VPU reductions.
-    dot = jnp.tanh(p_pool_ref[0] + att_h_ref[0])              # (R, H)
-    scores = jnp.sum(dot * alpha_w_ref[:], axis=1,
-                     keepdims=True) + alpha_b_ref[0, 0]        # (R, 1)
+            att_mask_ref, pnt_mask_ref, att_res_ref, grd_ref,
+            m_scr, l_scr, acc_scr):
+    # blocks: p_pool (BT, RT, H); att_h (BT, H); pool (BT, RT, D);
+    # alpha_w (1, H); alpha_b (1, 1) SMEM; masks (BT, RT) float;
+    # outputs: att_res (BT, D) (same block revisited across r),
+    # grd (BT, RT); scratch: m/l (BT, 128), acc (BT, D).
+    r = pl.program_id(1)
+    n_r = pl.num_programs(1)
 
-    att_masked = jnp.where(att_mask_ref[0] != 0, MIN_VALUE, scores)
-    grd_ref[0] = jnp.where(pnt_mask_ref[0] != 0, MIN_VALUE, att_masked)
+    @pl.when(r == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], MIN_VALUE)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
-    # masked softmax over R (sublane reduction)
-    m = jnp.max(att_masked, axis=0, keepdims=True)
-    e = jnp.exp(att_masked - m)
-    w = e / jnp.sum(e, axis=0, keepdims=True)                  # (R, 1)
+    # additive scores for this ROI tile
+    att_h = att_h_ref[:]                                     # (BT, H)
+    dot = jnp.tanh(p_pool_ref[:] + att_h[:, None, :])        # (BT, RT, H)
+    scores = jnp.sum(dot * alpha_w_ref[0][None, None, :], axis=2)
+    scores = scores + alpha_b_ref[0, 0]                      # (BT, RT)
 
-    # weighted pool: (R, 1) * (R, D) summed over R -> (1, D)
-    att_res_ref[0] = jnp.sum(w * pool_ref[0], axis=0, keepdims=True)
+    att_masked = jnp.where(att_mask_ref[:] != 0, MIN_VALUE, scores)
+    grd_ref[:] = jnp.where(pnt_mask_ref[:] != 0, MIN_VALUE, att_masked)
+
+    # online softmax update (scratch lane 0 carries the scalars)
+    m_old = m_scr[:, :1]                                     # (BT, 1)
+    l_old = l_scr[:, :1]
+    tile_max = jnp.max(att_masked, axis=1, keepdims=True)    # (BT, 1)
+    m_new = jnp.maximum(m_old, tile_max)
+    corr = jnp.exp(m_old - m_new)
+    p = jnp.exp(att_masked - m_new)                          # (BT, RT)
+    l_new = l_old * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = acc_scr[:] * corr + jnp.sum(
+        p[:, :, None] * pool_ref[:], axis=1)                 # (BT, D)
+
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(r == n_r - 1)
+    def _finalize():
+        att_res_ref[:] = acc_scr[:] / l_scr[:, :1]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,7 +85,7 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
     """Additive region attention, fused.
 
     p_pool_feats: (B, R, H); att_h: (B, H); pool_feats: (B, R, D)
-    alpha_w: (H, 1); alpha_b: (1,) or scalar
+    alpha_w: (H, 1) or (1, H); alpha_b: (1,) or scalar
     att_mask / pnt_mask: (B, R) bool
     Returns (att_res (B, D), grd_logits (B, R)).
     """
@@ -69,55 +93,68 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
     D = pool_feats.shape[-1]
     f32 = jnp.float32
 
-    # pad R to the lane multiple; padded rows are masked out
-    Rp = -(-R // 128) * 128
+    # pad B to the batch tile and R to the ROI tile; padded rows/ROIs
+    # are fully masked (their grd logits are dropped on return)
+    Bp = -(-B // BT) * BT
+    Rp = -(-R // RT) * RT
+    if Bp != B:
+        pb = [(0, Bp - B)]
+        p_pool_feats = jnp.pad(p_pool_feats, pb + [(0, 0), (0, 0)])
+        pool_feats = jnp.pad(pool_feats, pb + [(0, 0), (0, 0)])
+        att_h = jnp.pad(att_h, pb + [(0, 0)])
+        att_mask = jnp.pad(att_mask, pb + [(0, 0)],
+                           constant_values=True)
+        pnt_mask = jnp.pad(pnt_mask, pb + [(0, 0)],
+                           constant_values=True)
     if Rp != R:
-        pad = [(0, 0), (0, Rp - R), (0, 0)]
-        p_pool_feats = jnp.pad(p_pool_feats, pad)
-        pool_feats = jnp.pad(pool_feats, pad)
-        mask_pad = jnp.ones((B, Rp - R), bool)
-        att_mask = jnp.concatenate([att_mask, mask_pad], axis=1)
-        pnt_mask = jnp.concatenate([pnt_mask, mask_pad], axis=1)
+        pr = [(0, 0), (0, Rp - R)]
+        p_pool_feats = jnp.pad(p_pool_feats, pr + [(0, 0)])
+        pool_feats = jnp.pad(pool_feats, pr + [(0, 0)])
+        att_mask = jnp.pad(att_mask, pr, constant_values=True)
+        pnt_mask = jnp.pad(pnt_mask, pr, constant_values=True)
 
     alpha_b = jnp.asarray(alpha_b, f32).reshape(1, 1)
-    att_mask_f = att_mask.astype(f32)[:, :, None]   # (B, Rp, 1)
-    pnt_mask_f = pnt_mask.astype(f32)[:, :, None]
-    att_h3 = att_h.astype(f32)[:, None, :]          # (B, 1, H)
+    alpha_w2 = jnp.asarray(alpha_w, f32).reshape(1, H)
 
-    grid = (B,)
+    grid = (Bp // BT, Rp // RT)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, Rp, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, RT, H), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, H), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, RT, D), lambda b, r: (b, r, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda b: (0, 0),
+            pl.BlockSpec((1, H), lambda b, r: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b: (0, 0),
+            pl.BlockSpec((1, 1), lambda b, r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, RT), lambda b, r: (b, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, RT), lambda b, r: (b, r),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, D), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rp, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((BT, RT), lambda b, r: (b, r),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, D), f32),
-            jax.ShapeDtypeStruct((B, Rp, 1), f32),
+            jax.ShapeDtypeStruct((Bp, D), f32),
+            jax.ShapeDtypeStruct((Bp, Rp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, 128), f32),   # running max (lane 0)
+            pltpu.VMEM((BT, 128), f32),   # running normalizer
+            pltpu.VMEM((BT, D), f32),     # running weighted sum
         ],
         interpret=interpret,
-    )(p_pool_feats.astype(f32), att_h3,
-      pool_feats.astype(f32), jnp.asarray(alpha_w, f32).reshape(1, -1), alpha_b,
-      att_mask_f, pnt_mask_f)
+    )(p_pool_feats.astype(f32), att_h.astype(f32),
+      pool_feats.astype(f32), alpha_w2, alpha_b,
+      att_mask.astype(f32), pnt_mask.astype(f32))
 
     att_res, grd = out
-    return att_res[:, 0], grd[:, :R, 0]
+    return att_res[:B], grd[:B, :R]
