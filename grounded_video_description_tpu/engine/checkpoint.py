@@ -132,4 +132,109 @@ def import_torch_checkpoint(path: str, params: Dict) -> Dict:
             and "alpha_net" in out["core"]["attn2"]:
         put_linear(out["core"]["attn2"]["alpha_net"],
                    "core.attention2.alpha_net")
+    if "core.attention2_dual.h2att.weight" in sd \
+            and "attn2_dual" in out["core"]:
+        put_linear(out["core"]["attn2_dual"]["h2att"],
+                   "core.attention2_dual.h2att")
+        if "alpha_net" in out["core"]["attn2_dual"]:
+            put_linear(out["core"]["attn2_dual"]["alpha_net"],
+                       "core.attention2_dual.alpha_net")
+        put_linear(out["core"]["dual_pointer"], "core.dual_pointer.0")
+    if "alpha_net.weight" in sd and "alpha_net" in out:
+        put_linear(out["alpha_net"], "alpha_net")
+
+    # bidirectional context encoder: torch GRU/LSTM stores per-layer,
+    # per-direction weight_ih_l{k}[_reverse] with gate rows stacked
+    # (GRU: r,z,n; LSTM: i,f,g,o — both match our column layout after
+    # transposition)
+    for li, layer in enumerate(out["context_enc"]["layers"]):
+        for dirn, suffix in (("fwd", ""), ("bwd", "_reverse")):
+            wi = sd.get(f"context_enc.weight_ih_l{li}{suffix}")
+            if wi is None:
+                continue
+            wh = sd[f"context_enc.weight_hh_l{li}{suffix}"]
+            bi = sd[f"context_enc.bias_ih_l{li}{suffix}"]
+            bh = sd[f"context_enc.bias_hh_l{li}{suffix}"]
+            cell = layer[dirn]
+            cell["wi"] = np.asarray(wi).T
+            cell["wh"] = np.asarray(wh).T
+            if "bi" in cell:                    # GRU keeps both biases
+                cell["bi"] = np.asarray(bi)
+                cell["bh"] = np.asarray(bh)
+            else:                               # LSTM uses the sum
+                cell["b"] = np.asarray(bi) + np.asarray(bh)
+
+    # obj_interact transformer encoder (model.py:126-135 layout):
+    # obj_interact.encoder.layers.{i}.selfattn.layer.{wq,wk,wv,wo} and
+    # .selfattn.layernorm.{gamma,beta}; feedforward.layer.linear{1,2}
+    if "obj_interact" in out:
+        for i, lp in enumerate(out["obj_interact"]["layers"]):
+            base = f"obj_interact.encoder.layers.{i}"
+            for name in ("wq", "wk", "wv", "wo"):
+                put_linear(lp["selfattn"][name],
+                           f"{base}.selfattn.layer.{name}")
+            for ln_key, ln_name in (("ln1", "selfattn.layernorm"),
+                                    ("ln2", "feedforward.layernorm")):
+                g = sd.get(f"{base}.{ln_name}.gamma")
+                if g is not None:
+                    lp[ln_key]["gamma"] = np.asarray(g)
+                    lp[ln_key]["beta"] = np.asarray(
+                        sd[f"{base}.{ln_name}.beta"])
+            put_linear(lp["ff"]["l1"],
+                       f"{base}.feedforward.layer.linear1")
+            put_linear(lp["ff"]["l2"],
+                       f"{base}.feedforward.layer.linear2")
+
+    # transformer captioner (cap_model.decoder.*)
+    if "cap_model" in out:
+        put_linear(out["cap_model"]["out"], "cap_model.decoder.out")
+        for i, lp in enumerate(out["cap_model"]["layers"]):
+            base = f"cap_model.decoder.layers.{i}"
+            for blk, ours_attn, ours_ln in (
+                    ("selfattn", "selfattn", "ln1"),
+                    ("attention", "crossattn", "ln2")):
+                for name in ("wq", "wk", "wv", "wo"):
+                    put_linear(lp[ours_attn][name],
+                               f"{base}.{blk}.layer.{name}")
+                g = sd.get(f"{base}.{blk}.layernorm.gamma")
+                if g is not None:
+                    lp[ours_ln]["gamma"] = np.asarray(g)
+                    lp[ours_ln]["beta"] = np.asarray(
+                        sd[f"{base}.{blk}.layernorm.beta"])
+            put_linear(lp["ff"]["l1"],
+                       f"{base}.feedforward.layer.linear1")
+            put_linear(lp["ff"]["l2"],
+                       f"{base}.feedforward.layer.linear2")
+            g = sd.get(f"{base}.feedforward.layernorm.gamma")
+            if g is not None:
+                lp["ln3"]["gamma"] = np.asarray(g)
+                lp["ln3"]["beta"] = np.asarray(
+                    sd[f"{base}.feedforward.layernorm.beta"])
+
+    # batch-norm aux layer (att_embed_aux.0)
+    if "att_embed_aux.0.weight" in sd:
+        out["att_embed_aux"]["gamma"] = np.asarray(
+            sd["att_embed_aux.0.weight"])
+        out["att_embed_aux"]["beta"] = np.asarray(
+            sd["att_embed_aux.0.bias"])
+
+    if "vis_classifiers_bias" in sd and "vis_classifiers_bias" in out:
+        out["vis_classifiers_bias"] = np.asarray(
+            sd["vis_classifiers_bias"])
+    return out
+
+
+def import_torch_bn_state(path: str, model_state: Dict) -> Dict:
+    """Imports the att_embed_aux BatchNorm running statistics
+    (model.py:114-115) into the model-state collection."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    out = jax.tree.map(np.array, model_state)
+    if "att_embed_aux.0.running_mean" in sd:
+        out["bn"]["mean"] = np.asarray(sd["att_embed_aux.0.running_mean"])
+        out["bn"]["var"] = np.asarray(sd["att_embed_aux.0.running_var"])
+        if "att_embed_aux.0.num_batches_tracked" in sd:
+            out["bn"]["count"] = np.asarray(
+                sd["att_embed_aux.0.num_batches_tracked"], np.float32)
     return out

@@ -54,6 +54,49 @@ def test_torch_checkpoint_import():
     assert np.allclose(out["ctx2pool"]["w"], np.array(p["ctx2pool"]["w"]))
 
 
+def test_torch_checkpoint_import_gru_and_bn():
+    torch = pytest.importorskip("torch")
+    import tempfile
+
+    from grounded_video_description_tpu.engine.checkpoint import (
+        import_torch_bn_state, import_torch_checkpoint)
+
+    cfg, model, variables, fns = setup()
+    p = variables["params"]
+    rnn, hid = cfg.rnn_size, cfg.rnn_size // 2
+
+    sd = {
+        "context_enc.weight_ih_l0": torch.randn(3 * hid, rnn),
+        "context_enc.weight_hh_l0": torch.randn(3 * hid, hid),
+        "context_enc.bias_ih_l0": torch.randn(3 * hid),
+        "context_enc.bias_hh_l0": torch.randn(3 * hid),
+        "context_enc.weight_ih_l0_reverse": torch.randn(3 * hid, rnn),
+        "context_enc.weight_hh_l0_reverse": torch.randn(3 * hid, hid),
+        "context_enc.bias_ih_l0_reverse": torch.randn(3 * hid),
+        "context_enc.bias_hh_l0_reverse": torch.randn(3 * hid),
+        "att_embed_aux.0.weight": torch.ones(rnn) * 2,
+        "att_embed_aux.0.bias": torch.zeros(rnn),
+        "att_embed_aux.0.running_mean": torch.ones(rnn) * 0.5,
+        "att_embed_aux.0.running_var": torch.ones(rnn) * 4.0,
+    }
+    with tempfile.NamedTemporaryFile(suffix=".pth") as f:
+        torch.save(sd, f.name)
+        out = import_torch_checkpoint(f.name, p)
+        mstate = import_torch_bn_state(
+            f.name, variables["state"])
+
+    l0 = out["context_enc"]["layers"][0]
+    assert np.allclose(l0["fwd"]["wi"],
+                       sd["context_enc.weight_ih_l0"].numpy().T)
+    assert np.allclose(l0["bwd"]["wh"],
+                       sd["context_enc.weight_hh_l0_reverse"].numpy().T)
+    assert np.allclose(l0["fwd"]["bi"],
+                       sd["context_enc.bias_ih_l0"].numpy())
+    assert np.allclose(out["att_embed_aux"]["gamma"], 2.0)
+    assert np.allclose(mstate["bn"]["mean"], 0.5)
+    assert np.allclose(mstate["bn"]["var"], 4.0)
+
+
 def test_vis_infer_writes_image(tmp_path):
     pytest.importorskip("matplotlib")
     from grounded_video_description_tpu.utils.visualize import vis_infer
