@@ -114,6 +114,7 @@ class GVDConfig:
     # ---- TPU-native execution (new; no reference equivalent) ----
     dtype: str = "float32"              # compute dtype: float32 | bfloat16
     use_pallas: bool = False            # fused Pallas kernels for hot attention ops
+    quantize_banks: bool = False        # int8 attention banks at decode time
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     donate_buffers: bool = True

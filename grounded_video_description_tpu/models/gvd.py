@@ -600,6 +600,12 @@ class GVDModel:
             raise ValueError("stochastic sampling requires rng")
         enc, _ = self.encode(p, variables["state"], batch,
                              train=False, rng=None)
+        if cfg.quantize_banks:
+            from grounded_video_description_tpu.ops.quantize import (
+                quantize_rows)
+            for k in ("pool_feats", "p_pool_feats", "conv_feats",
+                      "p_conv_feats"):
+                enc[k] = quantize_rows(enc[k])
         pnt_mask = enc["pnt_mask"]
         B = pnt_mask.shape[0]
         Lq = cfg.seq_length

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from grounded_video_description_tpu.nn import linear
+from grounded_video_description_tpu.ops.quantize import dequantize
 
 MIN_VALUE = -1e8
 
@@ -40,6 +41,8 @@ def temporal_attention(p, h: jnp.ndarray, att_feats: jnp.ndarray,
     returns: (B, rnn) attended feature.
     """
     att_h = linear(p["h2att"], h)                         # (B, H)
+    p_att_feats = dequantize(p_att_feats, att_h.dtype)
+    att_feats = dequantize(att_feats, att_h.dtype)
     dot = jnp.tanh(p_att_feats + att_h[:, None, :])       # (B, T, H)
     scores = linear(p["alpha_net"], dot)[..., 0]          # (B, T)
     weight = jax.nn.softmax(scores, axis=1)
@@ -67,6 +70,8 @@ def region_attention(p, h: jnp.ndarray, pool_feats: jnp.ndarray,
     the per-step argmax) — AttModel.py:98-106.
     """
     att_h = linear(p["h2att"], h)                         # (B, H)
+    p_pool_feats = dequantize(p_pool_feats, att_h.dtype)
+    pool_feats = dequantize(pool_feats, att_h.dtype)
 
     if use_pallas and mode in ("add", "mix"):
         from grounded_video_description_tpu.ops.pallas.region_attention \
