@@ -72,6 +72,21 @@ def test_loader_batches_and_threading(synth):
     assert order1 == order2  # same seed+epoch0 -> same order
 
 
+def test_loader_pad_last(synth):
+    cfg, paths = synth
+    ds = AnetDataset(cfg, split="validation")   # 2 vids x 2 segs = 4
+    loader = Loader(ds, batch_size=3, shuffle=False, drop_last=False,
+                    pad_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["n_valid"] == 3
+    assert batches[1]["n_valid"] == 1
+    # padded rows repeat the last valid item; shapes stay static
+    assert batches[1]["seg_feat"].shape[0] == 3
+    assert np.array_equal(batches[1]["seg_feat"][1],
+                          batches[1]["seg_feat"][0])
+
+
 def test_decode_sequence():
     itow = {"1": "a", "2": "man", "3": "runs"}
     seq = np.array([[1, 2, 3, 0, 2], [2, 3, 0, 0, 0]])
