@@ -5,15 +5,19 @@ model.py:492-624 at batch 100 / 1000 ROIs / 480 frames / 20 tokens,
 README.md:103-123) end-to-end on device, full-size model dims
 (rnn 1024, 1600 classes, 2048-d regions).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Baseline: the reference needs >= 9 GB GPU RAM to eval batch 100
-(README.md:123) and its per-token decode loop launches ~50 CUDA kernels
-per step from Python with a DataParallel scatter each forward; measured
-reference-class throughput on a single V100 for this workload is on the
-order of ~60 captions/s (batch 100 / ~1.6 s per batched decode).  We
-use REFERENCE_CAPS_PER_SEC = 60.0 as the single-GPU baseline constant;
-vs_baseline = ours / baseline (target >= 10x, BASELINE.md).
+Baselines (BASELINE.md "Measured baselines"):
+  * vs_baseline — against REFERENCE_CAPS_PER_SEC = 60.0, the estimated
+    single-V100 throughput for this workload (batch 100 / ~1.6 s per
+    batched decode; the reference needs >= 9 GB GPU RAM at batch 100,
+    README.md:123).  Kept as the headline denominator for continuity
+    with round 1; it is an estimate, clearly labeled.
+  * vs_ref_cpu_measured — against the ACTUAL reference implementation
+    executed in this environment (torch CPU, tools/measure_baseline.py,
+    recorded in BASELINE_MEASURED.json).  Fully measured, method
+    documented; also reports ours-on-the-same-CPU so the framework-
+    efficiency ratio (ours/theirs on identical silicon) is visible.
 """
 
 from __future__ import annotations
@@ -72,12 +76,23 @@ def main():
     dt = time.perf_counter() - t0
 
     caps_per_sec = B * iters / dt
-    print(json.dumps({
+    rec = {
         "metric": "greedy_captions_per_sec_per_chip",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / REFERENCE_CAPS_PER_SEC, 2),
-    }))
+    }
+    measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_MEASURED.json")
+    if os.path.isfile(measured):
+        with open(measured) as f:
+            m = json.load(f)
+        ref_cpu = m.get("reference_cpu_caps_per_sec")
+        if ref_cpu:
+            rec["ref_cpu_measured_caps_per_sec"] = ref_cpu
+            rec["vs_ref_cpu_measured"] = round(caps_per_sec / ref_cpu, 1)
+            rec["cpu_framework_speedup"] = m.get("cpu_framework_speedup")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -117,6 +117,11 @@ class GVDConfig:
     quantize_banks: bool = False        # int8 attention banks at decode time
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
+    # pad the logit head's output width to a multiple of this so the
+    # tensor-parallel 'model' axis divides it (ANet vocab 4905 is odd);
+    # pad columns are masked to MIN_VALUE before log_softmax, so the
+    # distribution over real words is bit-identical to the unpadded head
+    vocab_pad_to: int = 1
     donate_buffers: bool = True
     remat: bool = True          # jax.checkpoint the decode scan + obj_interact in training (memory for FLOPs)
     profile_dir: Optional[str] = None   # jax.profiler trace output
@@ -134,6 +139,12 @@ class GVDConfig:
     @property
     def max_proposal(self) -> int:
         return self.num_sampled_frm * self.num_prop_per_frm
+
+    @property
+    def vocab_size_padded(self) -> int:
+        """Logit-head width: vocab_size rounded up to vocab_pad_to."""
+        m = max(self.vocab_pad_to, 1)
+        return ((self.vocab_size + m - 1) // m) * m
 
     @property
     def fc_feat_size_full(self) -> int:

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import queue
-import threading
 from collections import defaultdict
 from typing import Dict, Iterator, List, Optional
 
@@ -271,31 +269,59 @@ class Loader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _selections(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
-        nb = len(self)
-        q: "queue.Queue" = queue.Queue(maxsize=4)
+        out = []
+        for b in range(len(self)):
+            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            n_valid = len(sel)
+            if self.pad_last and n_valid < self.batch_size:
+                sel = np.concatenate(
+                    [sel, np.repeat(sel[-1:],
+                                    self.batch_size - n_valid)])
+            out.append((sel, n_valid))
+        return out
 
-        def worker():
-            for b in range(nb):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                n_valid = len(sel)
-                if self.pad_last and n_valid < self.batch_size:
-                    sel = np.concatenate(
-                        [sel, np.repeat(sel[-1:],
-                                        self.batch_size - n_valid)])
+    def __iter__(self) -> Iterator[Dict]:
+        sels = self._selections()
+        if self.num_threads <= 1:
+            for sel, n_valid in sels:
                 batch = collate([self.dataset[int(i)] for i in sel])
                 batch["n_valid"] = n_valid
-                q.put(batch)
-            q.put(None)
+                yield batch
+            return
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        # item-level parallel fetch (numpy .npy reads release the GIL)
+        # with a bounded pipeline of batches in flight, so the host
+        # keeps the chip fed at production batch sizes (the reference
+        # used a 20-worker torch DataLoader, main.py:556-562)
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        depth = 3
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            inflight: deque = deque()
+            it = iter(sels)
+
+            def submit(sel_nv):
+                sel, nv = sel_nv
+                futs = [ex.submit(self.dataset.__getitem__, int(i))
+                        for i in sel]
+                inflight.append((futs, nv))
+
+            for _ in range(depth):
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                submit(nxt)
+            while inflight:
+                futs, n_valid = inflight.popleft()
+                batch = collate([f.result() for f in futs])
+                batch["n_valid"] = n_valid
+                nxt = next(it, None)
+                if nxt is not None:
+                    submit(nxt)
+                yield batch

@@ -77,24 +77,44 @@ class CheckpointManager:
         return new_state, infos
 
 
-def import_torch_checkpoint(path: str, params: Dict) -> Dict:
-    """Best-effort import of a reference `model.pth` state_dict into our
-    parameter tree (torch CPU is available in the image).  Covers the
+def import_torch_checkpoint(path, params: Dict) -> Dict:
+    """Import of a reference `model.pth` state_dict into our parameter
+    tree (torch CPU is available in the image).  Covers the
     shared-architecture layers; transposes Linear weights
-    (torch stores (out, in), we store (in, out))."""
+    (torch stores (out, in), we store (in, out)).
+
+    `path` is a file path or an already-loaded state_dict mapping;
+    key-name coverage against the real reference module tree is pinned
+    by tests/test_ref_parity.py::test_importer_consumes_all_torch_keys.
+    """
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = path if isinstance(path, dict) else torch.load(
+        path, map_location="cpu")
     out = jax.tree.map(np.array, params)
 
     def put_linear(dst, prefix):
         w = sd.get(prefix + ".weight")
         if w is None:
             return
-        dst["w"] = np.asarray(w).T
+        wt = np.asarray(w).T
+        if "w" in dst and dst["w"].shape != wt.shape:
+            # wider target head (e.g. TP vocab padding): fill the
+            # leading block, keep the (masked) pad columns as-is
+            buf = np.array(dst["w"])
+            buf[: wt.shape[0], : wt.shape[1]] = wt
+            dst["w"] = buf
+        else:
+            dst["w"] = wt
         b = sd.get(prefix + ".bias")
         if b is not None and "b" in dst:
-            dst["b"] = np.asarray(b)
+            bb = np.asarray(b)
+            if dst["b"].shape != bb.shape:
+                buf = np.array(dst["b"])
+                buf[: bb.shape[0]] = bb
+                dst["b"] = buf
+            else:
+                dst["b"] = bb
 
     put_linear(out["loc_fc"], "loc_fc.0")
     put_linear(out["fc_embed"], "fc_embed.0")
@@ -224,12 +244,14 @@ def import_torch_checkpoint(path: str, params: Dict) -> Dict:
     return out
 
 
-def import_torch_bn_state(path: str, model_state: Dict) -> Dict:
+def import_torch_bn_state(path, model_state: Dict) -> Dict:
     """Imports the att_embed_aux BatchNorm running statistics
-    (model.py:114-115) into the model-state collection."""
+    (model.py:114-115) into the model-state collection.  `path` is a
+    file path or an already-loaded state_dict mapping."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = path if isinstance(path, dict) else torch.load(
+        path, map_location="cpu")
     out = jax.tree.map(np.array, model_state)
     if "att_embed_aux.0.running_mean" in sd:
         out["bn"]["mean"] = np.asarray(sd["att_embed_aux.0.running_mean"])

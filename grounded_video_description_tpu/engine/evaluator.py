@@ -30,10 +30,13 @@ EXTERNAL_DATA = {"used": True, "details": "Object detector pre-trained on "
 
 
 class Evaluator:
-    def __init__(self, cfg: GVDConfig, model: GVDModel, vocab):
+    def __init__(self, cfg: GVDConfig, model: GVDModel, vocab, mesh=None):
         self.cfg = cfg
         self.model = model
         self.vocab = vocab
+        # batch-parallel decode over the mesh 'data' axis (the
+        # reference evaluated single-device only)
+        self.mesh = mesh
         self._greedy = jax.jit(model.sample_greedy)
         self._beam = None
         self._grd = jax.jit(partial(model.forward, mode="GRD"))
@@ -42,13 +45,19 @@ class Evaluator:
 
     def generate(self, variables, batch_arrays) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        if self.mesh is not None:
+            from grounded_video_description_tpu.parallel.mesh import (
+                shard_batch)
+            batch_arrays = shard_batch(self.mesh, batch_arrays)
         if cfg.beam_size > 1:
             if self._beam is None:
                 self._beam = jax.jit(partial(
                     self.model.sample_beam, beam_size=cfg.beam_size))
-            seq, lps, att2_ind = self._beam(variables, batch_arrays)
+            seq, lps, att2_ind, att2_frm = self._beam(
+                variables, batch_arrays)
             return {"seq": np.array(seq), "logprobs": np.array(lps),
-                    "att2_ind": np.array(att2_ind)}
+                    "att2_ind": np.array(att2_ind),
+                    "att2_frm_ind": np.array(att2_frm)}
         seq, lps, att2_w, sim = self._greedy(variables, batch_arrays)
         return {"seq": np.array(seq), "logprobs": np.array(lps),
                 "att2_weights": np.array(att2_w),
@@ -87,15 +96,18 @@ class Evaluator:
             seq = out["seq"][:n_valid]
             n_caps += n_valid
 
-            if cfg.eval_obj_grounding and "att2_weights" not in out \
-                    and n_caps <= len(seg_ids):
-                print("[eval] grounding extraction requires beam_size=1 "
-                      "(main.py:362); skipping for beam search")
-            if cfg.eval_obj_grounding and "att2_weights" in out:
-                # per-frame argmax box per generated word (main.py:361-384)
-                att2_ind = out["att2_weights"][:n_valid].reshape(
-                    seq.shape[0], seq.shape[1], cfg.num_sampled_frm,
-                    cfg.num_prop_per_frm).argmax(-1)
+            if cfg.eval_obj_grounding:
+                # per-frame argmax box per generated word
+                # (main.py:361-384).  The reference hard-asserts
+                # beam_size == 1 here (main.py:362); our beam search
+                # carries per-frame argmaxes for the winning beam, so
+                # grounding extraction works for every decode mode.
+                if "att2_frm_ind" in out:
+                    att2_ind = out["att2_frm_ind"][:n_valid]
+                else:
+                    att2_ind = out["att2_weights"][:n_valid].reshape(
+                        seq.shape[0], seq.shape[1], cfg.num_sampled_frm,
+                        cfg.num_prop_per_frm).argmax(-1)
                 ppls = np.array(arrays["ppls"]).reshape(
                     -1, cfg.num_sampled_frm, cfg.num_prop_per_frm, 7)
                 for i in range(seq.shape[0]):
@@ -154,11 +166,14 @@ class Evaluator:
             if refs_exist:
                 from grounded_video_description_tpu.evalmetrics import (
                     DensecapEvaluator)
+                from grounded_video_description_tpu.evalmetrics.spice \
+                    import make_spice_fn
                 ev = DensecapEvaluator(
                     ground_truth_filenames=cfg.densecap_references,
                     prediction_filename=submission,
                     tious=[0.3, 0.5, 0.7, 0.9], max_proposals=1000,
-                    verbose=cfg.densecap_verbose)
+                    verbose=cfg.densecap_verbose,
+                    spice_fn=make_spice_fn(data_path=cfg.data_path))
                 ev.evaluate()
                 for m, v in ev.scores.items():
                     stats[m] = float(np.mean(v))

@@ -85,11 +85,33 @@ def make_optimizer(cfg: GVDConfig, params) -> optax.GradientTransformation:
 
 class Trainer:
     def __init__(self, cfg: GVDConfig, model: Optional[GVDModel] = None,
-                 rng_seed: Optional[int] = None):
+                 rng_seed: Optional[int] = None, mesh=None):
         self.cfg = cfg
         self.model = model or GVDModel(cfg)
         seed = cfg.seed if rng_seed is None else rng_seed
         self.rng = jax.random.PRNGKey(seed)
+        # device mesh for SPMD execution (replaces nn.DataParallel,
+        # main.py:654-655): batches shard on 'data', params follow
+        # param_shardings (TP on the padded vocab head when the
+        # 'model' axis is >1)
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------ #
+
+    def shard_state(self, state: "TrainState") -> "TrainState":
+        """Places params per the TP rules and replicates the rest over
+        the mesh; opt-state moments are left for jit to lay out (they
+        adopt the params' shardings at first use)."""
+        if self.mesh is None:
+            return state
+        from grounded_video_description_tpu.parallel.mesh import (
+            param_shardings, replicate)
+
+        params = jax.device_put(state.params,
+                                param_shardings(self.mesh, state.params))
+        model_state = replicate(self.mesh, state.model_state)
+        return TrainState(params=params, model_state=model_state,
+                          opt_state=state.opt_state, step=state.step)
 
     # ------------------------------------------------------------------ #
 
@@ -156,17 +178,34 @@ class Trainer:
             step_fn = self._step_fn = self.make_train_step(
                 donate=self.cfg.donate_buffers)
         lr = self.lr_at_epoch(epoch)
+        prof = getattr(self, "_prof", None)
+        if prof is None and self.cfg.profile_dir:
+            from grounded_video_description_tpu.utils.logging import (
+                ProfilerHooks)
+            prof = self._prof = ProfilerHooks(
+                self.cfg.profile_dir, start_step=state.step + 2,
+                num_steps=3)
         agg: Dict[str, float] = {}
         n = 0
         t0 = time.time()
         for batch in loader:
             batch = {k: v for k, v in batch.items()
                      if k not in ("seg_id", "n_valid")}
+            if self.mesh is not None:
+                from grounded_video_description_tpu.parallel.mesh import (
+                    shard_batch)
+                batch = shard_batch(self.mesh, batch)
             self.rng, sub = jax.random.split(self.rng)
+            if prof is not None:
+                prof.maybe_start(state.step)
             params, mstate, ostate, metrics = step_fn(
                 state.params, state.model_state, state.opt_state,
                 batch, sub, lr)
+            if prof is not None and prof._active:
+                jax.block_until_ready(metrics)
             state = TrainState(params, mstate, ostate, state.step + 1)
+            if prof is not None:
+                prof.maybe_stop(state.step)
             n += 1
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + float(v)

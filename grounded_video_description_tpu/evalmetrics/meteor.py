@@ -1,13 +1,13 @@
-"""METEOR (Banerjee & Lavie) — pure-Python approximation.
+"""METEOR (Banerjee & Lavie).
 
 The reference scores METEOR through the coco-caption Java jar
-(README.md:56); this environment has no Java dependency, so we
-implement the original METEOR formulation with an exact + suffix-stem
-matcher (no WordNet synonymy): unigram alignment maximizing matches and
-minimizing chunks, Fmean = 10PR/(R+9P), fragmentation penalty
-0.5 * (chunks/matches)^3.  Scores track Java METEOR closely on
-in-vocabulary captions; treat as an approximation when comparing
-against externally published numbers.
+(README.md:56); this environment has no Java.  Primary scorer: the
+nltk METEOR implementation (exact + Porter-stem + WordNet-synonym
+unigram alignment — the canonical formulation, max over references),
+used whenever nltk and its wordnet corpus are importable.  Fallback: a
+pure-Python exact+suffix-stem approximation of the same formulation.
+tests/test_metric_validation.py pins the two against each other and
+bounds their drift.
 """
 
 from __future__ import annotations
@@ -15,6 +15,33 @@ from __future__ import annotations
 from typing import Dict, List
 
 from grounded_video_description_tpu.evalmetrics.tokenizer import tokenize
+
+
+class _EmptyWordnet:
+    """WordNet stand-in with no synsets: drives nltk's METEOR through
+    its exact + Porter-stem stages only (the synonym stage never
+    matches), so the canonical alignment and scoring machinery runs
+    without the wordnet corpus download."""
+
+    def synsets(self, word):
+        return []
+
+
+def _nltk_meteor():
+    """Returns (meteor_score, kwargs) — full WordNet matching when the
+    corpus is installed, otherwise exact+stem via the empty shim — or
+    None when nltk itself is unavailable."""
+    try:
+        from nltk.translate.meteor_score import meteor_score
+    except Exception:
+        return None
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("dog")          # LookupError if data absent
+        return meteor_score, {}
+    except Exception:
+        return meteor_score, {"wordnet": _EmptyWordnet()}
 
 
 def _stem(w: str) -> str:
@@ -66,12 +93,31 @@ def _score_pair(cand: List[str], ref: List[str]) -> float:
     return fmean * (1.0 - penalty)
 
 
-def compute_meteor(gts: Dict[str, List[str]],
-                   res: Dict[str, List[str]]) -> float:
+def compute_meteor_fallback(gts: Dict[str, List[str]],
+                            res: Dict[str, List[str]]) -> float:
+    """Pure-Python exact+stem METEOR (no nltk dependency)."""
     total = 0.0
     for i in res:
         cand = tokenize(res[i][0])
         if not cand:
             continue
         total += max(_score_pair(cand, tokenize(r)) for r in gts[i])
+    return total / max(len(res), 1)
+
+
+def compute_meteor(gts: Dict[str, List[str]],
+                   res: Dict[str, List[str]]) -> float:
+    found = _nltk_meteor()
+    if found is None:
+        return compute_meteor_fallback(gts, res)
+    scorer, kwargs = found
+    total = 0.0
+    for i in res:
+        cand = tokenize(res[i][0])
+        if not cand:
+            continue
+        refs = [tokenize(r) for r in gts[i] if tokenize(r)]
+        if not refs:
+            continue
+        total += scorer(refs, cand, **kwargs)
     return total / max(len(res), 1)

@@ -72,8 +72,10 @@ def cls_criterion(sim_mat_static: jnp.ndarray, sim_target: jnp.ndarray
     gathered = jnp.take_along_axis(
         sim_mat_static, sim_target.astype(jnp.int32), axis=1)  # (B, K, R)
     mask = sim_target > 0
-    eps = 1e-12
-    bce = -jnp.log(jnp.clip(gathered, eps, 1.0))
+    # torch F.binary_cross_entropy clamps the log term at -100 (so a
+    # zero probability contributes exactly 100, not inf) — matched here
+    # for differential parity with model.py:348
+    bce = jnp.minimum(-jnp.log(jnp.maximum(gathered, 1e-45)), 100.0)
     return _masked_mean(bce, mask)
 
 

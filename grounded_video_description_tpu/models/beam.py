@@ -28,19 +28,27 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from grounded_video_description_tpu.nn import linear
-
 NEG_INF = -1e18
 FINISHED_SCORE = -1000.0
 
 
 def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
                 beta: float = 1.0
-                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (seq (B, L), seq_logprobs (B, L), att2_ind (B, L))."""
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                           jnp.ndarray]:
+    """Returns (seq (B, L), seq_logprobs (B, L), att2_ind (B, L),
+    att2_frm_ind (B, L, num_sampled_frm)).
+
+    att2_frm_ind is the per-frame proposal argmax of the best beam's
+    region attention at every step — the quantity generated-sentence
+    grounding eval consumes (main.py:361-384).  The reference hard-
+    asserts beam_size == 1 there (main.py:362); carrying the per-frame
+    argmaxes through the beam removes that restriction."""
     cfg = model.cfg
     W = beam_size
     Lq = cfg.seq_length
+    F = cfg.num_sampled_frm
+    Ppf = cfg.num_prop_per_frm
     pnt_mask = enc["pnt_mask"]
     B, Rp1 = pnt_mask.shape
     R = Rp1 - 1
@@ -60,19 +68,26 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
     rnn_out, state, att2_w = core(xt0, model.init_state(B * W))
     att2_first = jnp.argmax(att2_w.reshape(B, W, R)[:, 0], axis=-1)  # (B,)
     att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
+    att2f_first = jnp.argmax(
+        att2_w.reshape(B, W, F, Ppf)[:, 0], axis=-1)        # (B, F)
+    att2f = jnp.argmax(
+        att2_w.reshape(B, W, F, Ppf), axis=-1)              # (B, W, F)
 
     carry = dict(
         state=state,
         rnn_out=rnn_out,
         att2_ind=att2_ind,
+        att2f=att2f,
         beam_seq=jnp.zeros((B, W, Lq), jnp.int32),
         beam_lp=jnp.zeros((B, W, Lq), jnp.float32),
         beam_att2=jnp.full((B, W, Lq), -1, jnp.int32),
+        beam_att2f=jnp.zeros((B, W, Lq, F), jnp.int32),
         beam_sum=jnp.zeros((B, W), jnp.float32),
         best_score=jnp.full((B,), NEG_INF, jnp.float32),
         best_seq=jnp.zeros((B, Lq), jnp.int32),
         best_lp=jnp.zeros((B, Lq), jnp.float32),
         best_att2=jnp.full((B, Lq), -1, jnp.int32),
+        best_att2f=jnp.zeros((B, Lq, F), jnp.int32),
     )
 
     def gather_beams(x, parent):
@@ -81,9 +96,7 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
             x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
 
     def step(c, t):
-        logprobs = jax.nn.log_softmax(
-            beta * linear(params["logit"],
-                          c["rnn_out"]).astype(jnp.float32), axis=1)
+        logprobs = model.logit_logprobs(params, c["rnn_out"], beta=beta)
         logprobs = logprobs.reshape(B, W, V)
 
         total = c["beam_sum"][:, :, None] + logprobs
@@ -106,6 +119,13 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
             t >= 1,
             beam_att2.at[:, :, t].set(att2_cand),
             beam_att2)
+        att2f_cand = jnp.take_along_axis(
+            c["att2f"], parent[..., None], axis=1)            # (B, W, F)
+        beam_att2f = gather_beams(c["beam_att2f"], parent)
+        beam_att2f = jnp.where(
+            t >= 1,
+            beam_att2f.at[:, :, t].set(att2f_cand),
+            beam_att2f)
 
         # re-index recurrent state by parent
         def reindex(x):
@@ -124,8 +144,8 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
         improved = cand_score > c["best_score"]
 
         def pick(rows):
-            return jnp.take_along_axis(
-                rows, best_w[:, None, None], axis=1)[:, 0]
+            idx = best_w.reshape((B, 1) + (1,) * (rows.ndim - 2))
+            return jnp.take_along_axis(rows, idx, axis=1)[:, 0]
 
         best_score = jnp.where(improved, cand_score, c["best_score"])
         best_seq = jnp.where(improved[:, None], pick(beam_seq),
@@ -133,20 +153,27 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
         best_lp = jnp.where(improved[:, None], pick(beam_lp), c["best_lp"])
         best_att2 = jnp.where(improved[:, None], pick(beam_att2),
                               c["best_att2"])
+        best_att2f = jnp.where(improved[:, None, None],
+                               pick(beam_att2f), c["best_att2f"])
         new_sum = jnp.where(finished, FINISHED_SCORE, new_sum)
 
         # advance all beams one core step
         xt = model.embed_words(params, word.reshape(B * W), train=False)
         rnn_out, state, att2_w = core(xt, state)
         att2_ind = jnp.argmax(att2_w, axis=-1).reshape(B, W)
+        att2f = jnp.argmax(att2_w.reshape(B, W, F, Ppf), axis=-1)
 
         return dict(state=state, rnn_out=rnn_out, att2_ind=att2_ind,
+                    att2f=att2f,
                     beam_seq=beam_seq, beam_lp=beam_lp,
-                    beam_att2=beam_att2, beam_sum=new_sum,
+                    beam_att2=beam_att2, beam_att2f=beam_att2f,
+                    beam_sum=new_sum,
                     best_score=best_score, best_seq=best_seq,
-                    best_lp=best_lp, best_att2=best_att2), None
+                    best_lp=best_lp, best_att2=best_att2,
+                    best_att2f=best_att2f), None
 
     carry, _ = jax.lax.scan(step, carry, jnp.arange(Lq))
 
     att2_out = carry["best_att2"].at[:, 0].set(att2_first)
-    return carry["best_seq"], carry["best_lp"], att2_out
+    att2f_out = carry["best_att2f"].at[:, 0].set(att2f_first)
+    return (carry["best_seq"], carry["best_lp"], att2_out, att2f_out)

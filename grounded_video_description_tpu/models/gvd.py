@@ -95,7 +95,10 @@ class GVDModel:
                                       cfg.rnn_size)
         p["ctx2att"] = linear_init(next(ks), cfg.rnn_size, cfg.att_hid_size)
         p["ctx2pool"] = linear_init(next(ks), cfg.rnn_size, cfg.att_hid_size)
-        p["logit"] = linear_init(next(ks), cfg.rnn_size, cfg.vocab_size)
+        # logit width padded to cfg.vocab_pad_to so the TP 'model' axis
+        # divides it (pad columns masked in logit_logprobs)
+        p["logit"] = linear_init(next(ks), cfg.rnn_size,
+                                 cfg.vocab_size_padded)
         p["ctx2pool_grd"] = linear_init(next(ks), cfg.att_feat_size,
                                         cfg.vis_encoding_size)
         p["context_enc"] = birnn_init(next(ks), cfg.rnn_size,
@@ -396,6 +399,23 @@ class GVDModel:
         return dropout(rng, x, self.cfg.drop_prob_lm,
                        train=train).astype(self.dtype)
 
+    def logit_logprobs(self, params, x, *, beta: float = 1.0):
+        """Vocab log-probabilities from the (possibly padded) logit head
+        (model.py:464, 612).  Pad columns are forced to MIN_VALUE before
+        the log_softmax — exp underflows to exactly 0 in f32, so the
+        distribution over the real vocab is unchanged — and sliced away,
+        keeping every caller's shapes in terms of the true vocab."""
+        cfg = self.cfg
+        logits = linear(params["logit"], x).astype(jnp.float32)
+        if beta != 1.0:
+            logits = beta * logits
+        V, Vp = cfg.vocab_size, cfg.vocab_size_padded
+        if Vp > V:
+            pad = jnp.arange(Vp) >= V
+            logits = jnp.where(pad, MIN_VALUE, logits)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return lp[..., :V] if Vp > V else lp
+
     def embed_vis_words(self, params, ids, *, train: bool, rng=None):
         x = jax.nn.relu(embedding(params["vis_embed"], ids))
         return dropout(rng, x, self.cfg.drop_prob_lm,
@@ -542,9 +562,7 @@ class GVDModel:
         roi_labels = jnp.moveaxis(roi_labels, 0, 1)            # (sb, L, R)
         frm_mask_output = jnp.moveaxis(step_pnt, 0, 1)         # (sb, L, R+1)
 
-        decoded = jax.nn.log_softmax(
-            linear(p["logit"], rnn_output).astype(jnp.float32),
-            axis=2)                                            # (sb, L, V)
+        decoded = self.logit_logprobs(p, rnn_output)           # (sb, L, V)
 
         # grounding scorer over the target's visual words
         # (model.py:467-480)
@@ -631,9 +649,7 @@ class GVDModel:
                 p["core"], xt, enc["fc_feats"], enc["conv_feats"],
                 enc["p_conv_feats"], enc["pool_feats"], enc["p_pool_feats"],
                 pnt_mask, pnt_mask, state, train=False)
-            logprobs = jax.nn.log_softmax(
-                beta * linear(p["logit"], out).astype(jnp.float32),
-                axis=1)
+            logprobs = self.logit_logprobs(p, out, beta=beta)
             if sample_max:
                 # UNK-suppressed argmax (model.py:589-594)
                 top2_val, top2_idx = jax.lax.top_k(logprobs, 2)

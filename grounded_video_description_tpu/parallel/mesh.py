@@ -67,9 +67,16 @@ _TP_RULES = {
 }
 
 
-def param_shardings(mesh: Mesh, params) -> Dict:
+def param_shardings(mesh: Mesh, params, *, strict: bool = False) -> Dict:
     """NamedSharding tree: TP rules for the big banks, replicated
-    elsewhere."""
+    elsewhere.
+
+    A TP rule that cannot apply (non-divisible dim) is reported loudly:
+    a warning by default, an error under `strict=True`.  The fix for
+    the vocab logit is `cfg.vocab_pad_to = <model-axis size>` (ANet's
+    4905-word vocab is odd)."""
+    skipped = []
+
     def assign(path, leaf):
         keys = [getattr(p, "key", None) for p in path]
         for name, rules in _TP_RULES.items():
@@ -85,9 +92,22 @@ def param_shardings(mesh: Mesh, params) -> Dict:
                              zip(leaf.shape, dims) if d > 1)
                     if ok:
                         return NamedSharding(mesh, spec)
+                    skipped.append(
+                        f"{name}.{leaf_key} {leaf.shape} not divisible "
+                        f"by {dict(mesh.shape)} -> replicated")
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+    out = jax.tree_util.tree_map_with_path(assign, params)
+    if skipped:
+        msg = ("tensor-parallel rules could not apply: "
+               + "; ".join(skipped)
+               + " (set cfg.vocab_pad_to to the model-axis size)")
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return out
 
 
 def make_sharded_train_step(trainer, mesh: Mesh, donate: bool = True):

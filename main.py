@@ -65,6 +65,46 @@ def build_model_and_vocab(cfg):
     return cfg, model, variables, dataset, dataset_val, vocab
 
 
+def build_driver_mesh(cfg):
+    """Device mesh for the driver (replaces nn.DataParallel,
+    reference main.py:654-655).
+
+    `--mesh_shape D M` selects DP x TP explicitly; with no flag, all
+    visible devices become one 'data' axis.  Returns (cfg, mesh|None) —
+    cfg gains `vocab_pad_to` when a model axis is active so the TP
+    rules can shard the vocab logit (4905 is odd)."""
+    import jax
+
+    from grounded_video_description_tpu.parallel import make_mesh
+
+    devices = jax.devices()
+    n = len(devices)
+    shape = cfg.mesh_shape
+    if shape is None:
+        if n <= 1:
+            return cfg, None
+        # auto-DP: largest device count that divides the batch
+        d = max((k for k in range(1, n + 1)
+                 if cfg.batch_size % k == 0), default=1)
+        if d <= 1:
+            return cfg, None
+        shape = [d, 1]
+        devices = devices[:d]
+    if int(np.prod(shape)) <= 1:
+        return cfg, None
+    mesh = make_mesh(shape, ("data", "model"), devices=devices)
+    data_size = mesh.shape.get("data", 1)
+    if cfg.batch_size % data_size:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the "
+            f"mesh data axis {data_size}")
+    model_size = mesh.shape.get("model", 1)
+    if model_size > 1 and cfg.vocab_pad_to % model_size:
+        cfg = cfg.replace(vocab_pad_to=model_size)
+    print(f"mesh: {dict(mesh.shape)} over {n} devices")
+    return cfg, mesh
+
+
 def main(argv=None):
     from grounded_video_description_tpu.config import GVDConfig
 
@@ -80,6 +120,7 @@ def main(argv=None):
     from grounded_video_description_tpu.engine.evaluator import Evaluator
     from grounded_video_description_tpu.utils.logging import MetricLogger
 
+    cfg, mesh = build_driver_mesh(cfg)
     cfg, model, variables, dataset, dataset_val, vocab = \
         build_model_and_vocab(cfg)
 
@@ -87,9 +128,10 @@ def main(argv=None):
     loader_val = Loader(dataset_val, cfg.batch_size, shuffle=False,
                         drop_last=False, pad_last=True)
 
-    trainer = Trainer(cfg, model)
+    trainer = Trainer(cfg, model, mesh=mesh)
     state = trainer.init_state(params=variables["params"],
                                model_state=variables["state"])
+    state = trainer.shard_state(state)
     ckpt = CheckpointManager(cfg.checkpoint_path)
     logger = MetricLogger(cfg.log_jsonl)
 
@@ -106,10 +148,11 @@ def main(argv=None):
         # --start_from honors --load_best_score (main.py:622-628)
         load_best = (cfg.load_best_score == 1) if cfg.start_from else False
         state, infos = resume.restore(state, load_best=load_best)
+        state = trainer.shard_state(state)
         print(f"resumed from {resume_dir} at epoch "
               f"{infos.get('epoch', 0)}")
 
-    evaluator = Evaluator(cfg, model, vocab)
+    evaluator = Evaluator(cfg, model, vocab, mesh=mesh)
     best_val = infos.get("best_val_score")
     start_epoch = infos.get("epoch", 0)
     # loss/LR/val histories persisted with the checkpoint

@@ -104,7 +104,7 @@ def test_beam_matches_reference_oracle():
         p, variables["state"], batch)
 
     for W in (2, 3):
-        seq, lps, att2 = jax.jit(
+        seq, lps, att2, _att2f = jax.jit(
             partial(model.sample_beam, beam_size=W))(variables, batch)
         o_seq, o_lps, o_att2 = oracle_beam(model, p, enc, W)
         assert np.array_equal(np.array(seq[0]), o_seq), (
@@ -117,10 +117,19 @@ def test_beam_shapes_and_determinism():
     cfg, model, variables, fns = setup()
     batch = batch_for(cfg, B=3, seed=5)
     fn = jax.jit(partial(model.sample_beam, beam_size=3))
-    seq, lps, att2 = fn(variables, batch)
+    seq, lps, att2, att2f = fn(variables, batch)
     assert seq.shape == (3, cfg.seq_length)
     assert lps.shape == (3, cfg.seq_length)
     assert att2.shape == (3, cfg.seq_length)
+    assert att2f.shape == (3, cfg.seq_length, cfg.num_sampled_frm)
+    # the per-frame argmaxes are consistent with the global argmax:
+    # the winning global ROI index appears at its frame's slot
+    frm = np.array(att2) // cfg.num_prop_per_frm
+    within = np.array(att2) % cfg.num_prop_per_frm
+    live = np.array(att2) >= 0
+    picked = np.take_along_axis(np.array(att2f), np.maximum(frm, 0)[..., None],
+                                axis=2)[..., 0]
+    assert np.array_equal(picked[live], within[live])
     seq2 = fn(variables, batch)[0]
     assert np.array_equal(np.array(seq), np.array(seq2))
     assert np.all(np.array(seq) >= 0)

@@ -104,6 +104,31 @@ def test_cli_beam_inference(synth_root, tmp_path):
     assert n == 8
 
 
+def test_cli_multidevice_mesh(synth_root, tmp_path):
+    """Full driver on the virtual 8-device CPU mesh: DP=4 x TP=2.
+    The reference's multi-GPU entry point is nn.DataParallel
+    (main.py:654-655); ours is a jit-sharded mesh with the vocab
+    logit padded to the model axis and sharded."""
+    import main as cli
+
+    root, cfg, paths = synth_root
+    ckpt_dir = str(tmp_path / "save_mesh")
+    argv = _argv(cfg, paths, [
+        "--checkpoint_path", ckpt_dir, "--id", "cimesh",
+        "--mesh_shape", "4", "2",
+        "--batch_size", "4",          # divisible by the data axis
+        "--language_eval", "--eval_obj_grounding",
+        "--w_att2", "0.05", "--w_cls", "0.1",
+    ])
+    assert cli.main(argv) == 0
+    assert os.path.isdir(os.path.join(ckpt_dir, "model"))
+    sub = "densecap_results/densecap-validation-cimesh.json"
+    with open(sub) as f:
+        dc = json.load(f)
+    n = sum(len(v) for v in dc["results"].values())
+    assert n == 8   # every val segment captioned under the mesh
+
+
 def test_cli_inference_only_resume(synth_root, tmp_path):
     import main as cli
 

@@ -72,6 +72,51 @@ def test_loader_batches_and_threading(synth):
     assert order1 == order2  # same seed+epoch0 -> same order
 
 
+def test_loader_parallel_matches_serial(synth):
+    """The thread-pool path must yield the exact batches, in the exact
+    order, that the serial path yields."""
+    cfg, paths = synth
+    ds = AnetDataset(cfg, split="training")
+    serial = list(Loader(ds, 2, shuffle=True, seed=3, num_threads=1))
+    par = list(Loader(ds, 2, shuffle=True, seed=3, num_threads=4))
+    assert len(serial) == len(par)
+    for a, b in zip(serial, par):
+        assert a["seg_id"] == b["seg_id"]
+        for k in a:
+            if k in ("seg_id", "n_valid"):
+                continue
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_loader_parallel_overlaps_io():
+    """With IO-bound items (simulated latency), N fetch threads must
+    deliver close to N-fold throughput — the round-1 loader ran a
+    single worker and would starve the chip at batch 240
+    (reference uses a 20-worker DataLoader, main.py:556-562)."""
+    import time
+
+    class SlowDataset:
+        def __len__(self):
+            return 24
+
+        def __getitem__(self, i):
+            time.sleep(0.02)        # simulated .npy read latency
+            return {k: np.full((2,), i, np.float32) for k in
+                    ("seg_feat", "input_seq", "gt_seq", "num", "ppls",
+                     "gt_boxes", "mask_boxes", "ppls_feat", "frm_mask",
+                     "sample_idx", "pnt_mask")} | {"seg_id": str(i)}
+
+    ds = SlowDataset()
+    t0 = time.time()
+    n1 = len(list(Loader(ds, 4, shuffle=False, num_threads=1)))
+    serial_t = time.time() - t0
+    t0 = time.time()
+    n8 = len(list(Loader(ds, 4, shuffle=False, num_threads=8)))
+    par_t = time.time() - t0
+    assert n1 == n8 == 6
+    assert par_t < serial_t * 0.5, (serial_t, par_t)
+
+
 def test_loader_pad_last(synth):
     cfg, paths = synth
     ds = AnetDataset(cfg, split="validation")   # 2 vids x 2 segs = 4
@@ -137,3 +182,88 @@ def test_lemmatizer_rules():
     assert lemmatize("ladies") == "lady"
     assert lemmatize("glasses") == "glass"
     assert lemmatize("men") == "man"
+
+
+def test_prepro_lemma_json_escape_hatch(synth, tmp_path):
+    """--lemma_json (prepro_dic_anet.py:94-124) must round-trip an
+    externally computed CoreNLP wtol table VERBATIM into the output
+    dic — including entries that contradict the rule lemmatizer (the
+    reference computes lemmas with POS context the rules lack,
+    reference prepro/prepro_dic_anet.py:122-126)."""
+    import subprocess
+    import sys
+
+    cfg, paths = synth
+    # harvest the vocab the prepro will build, then fabricate a
+    # CoreNLP-style table over it with deliberate rule disagreements
+    out_dic = str(tmp_path / "dic.json")
+    out_cap = str(tmp_path / "cap.json")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = subprocess.run(
+        [sys.executable, "prepro/prepro_dic_anet.py",
+         "--input_caps", paths["input_json"],
+         "--split_file", paths["split_file"],
+         "--output_dic", out_dic, "--output_cap", out_cap,
+         "--word_count_threshold", "0"],
+        capture_output=True, text=True, cwd=root)
+    assert rc.returncode == 0, rc.stderr
+    with open(out_dic) as f:
+        vocab_words = list(json.load(f)["ix_to_word"].values())
+
+    corenlp_wtol = {w: (w if i % 3 else w + "_corenlp")
+                    for i, w in enumerate(vocab_words) if w != "UNK"}
+    lemma_file = str(tmp_path / "wtol.json")
+    with open(lemma_file, "w") as f:
+        json.dump(corenlp_wtol, f)
+
+    out_dic2 = str(tmp_path / "dic2.json")
+    rc = subprocess.run(
+        [sys.executable, "prepro/prepro_dic_anet.py",
+         "--input_caps", paths["input_json"],
+         "--split_file", paths["split_file"],
+         "--output_dic", out_dic2, "--output_cap",
+         str(tmp_path / "cap2.json"),
+         "--word_count_threshold", "0",
+         "--lemma_json", lemma_file],
+        capture_output=True, text=True, cwd=root)
+    assert rc.returncode == 0, rc.stderr
+    with open(out_dic2) as f:
+        dic = json.load(f)
+    assert dic["wtol"] == corenlp_wtol
+    # and the table loads through the vocab layer used by eval
+    vt = VocabTables.from_file(out_dic2)
+    assert vt.wtol == corenlp_wtol
+
+
+# CoreNLP 3.9 lemma outputs for common ANet-caption words (noun/verb
+# POS as they appear in captions), harvested by convention — the gold
+# set the rule lemmatizer is measured against.
+_CORENLP_GOLD = {
+    "dogs": "dog", "men": "man", "women": "woman", "children": "child",
+    "people": "person", "glasses": "glass", "ladies": "lady",
+    "knives": "knife", "leaves": "leaf", "shelves": "shelf",
+    "buses": "bus", "boxes": "box", "dishes": "dish",
+    "watches": "watch", "plays": "play", "played": "play",
+    "playing": "play", "walks": "walk", "walked": "walk",
+    "walking": "walk", "jumps": "jump", "jumped": "jump",
+    "jumping": "jump", "runs": "run", "running": "run", "ran": "run",
+    "throws": "throw", "throwing": "throw", "threw": "throw",
+    "catches": "catch", "holds": "hold", "holding": "hold",
+    "held": "hold", "stands": "stand", "standing": "stand",
+    "is": "be", "are": "be", "was": "be", "were": "be", "has": "have",
+    "gets": "get", "getting": "get", "goes": "go", "going": "go",
+    "went": "go", "talks": "talk", "talking": "talk", "smiles":
+    "smile", "cars": "car", "tables": "table", "balls": "ball",
+}
+
+
+def test_rule_lemmatizer_disagreement_quantified():
+    """Quantifies the rule lemmatizer's drift from CoreNLP on common
+    caption vocabulary: >= 90% exact agreement, so the --lemma_json
+    escape hatch is a correctness refinement, not a necessity."""
+    from prepro.prepro_dic_anet import lemmatize
+
+    wrong = {w: (lemmatize(w), gold)
+             for w, gold in _CORENLP_GOLD.items() if lemmatize(w) != gold}
+    agreement = 1 - len(wrong) / len(_CORENLP_GOLD)
+    assert agreement >= 0.9, (agreement, wrong)

@@ -65,6 +65,51 @@ def test_tp_param_shardings():
 
 
 @requires_8
+def test_tp_odd_vocab_pads_and_shards():
+    """ANet's vocab (4905) is odd: without padding the TP rule silently
+    replicated the logit (round-1 gap).  With cfg.vocab_pad_to = model
+    axis, the padded head shards — and the padded log_softmax is
+    numerically identical to the unpadded one."""
+    from grounded_video_description_tpu.models import GVDModel
+
+    cfg = tiny_test_config(vocab_size=65, vocab_pad_to=2)
+    assert cfg.vocab_size_padded == 66
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sh = param_shardings(mesh, state.params)
+    assert sh["logit"]["w"].spec == P(None, "model")
+    w = jax.device_put(state.params["logit"]["w"], sh["logit"]["w"])
+    assert {s.data.shape for s in w.addressable_shards} \
+        == {(cfg.rnn_size, 33)}
+
+    # numerics: padded head == unpadded head with the same weights
+    model = GVDModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, cfg.rnn_size))
+    lp = jax.jit(model.logit_logprobs)(state.params, x)
+    assert lp.shape == (3, 65)
+    ref = jax.nn.log_softmax(
+        x @ state.params["logit"]["w"][:, :65]
+        + state.params["logit"]["b"][:65], axis=-1)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@requires_8
+def test_tp_unshardable_rule_warns():
+    """A TP rule that cannot apply must be loud, not silent."""
+    cfg = tiny_test_config(vocab_size=65)   # odd, no padding
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    with pytest.warns(UserWarning, match="vocab_pad_to"):
+        sh = param_shardings(mesh, state.params)
+    assert sh["logit"]["w"].spec == P()
+    with pytest.raises(ValueError, match="not divisible"):
+        param_shardings(mesh, state.params, strict=True)
+
+
+@requires_8
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

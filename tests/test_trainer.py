@@ -92,3 +92,31 @@ def test_finetune_param_group_scaled():
     d_ft = np.abs(np.array(params["ctx2pool_grd"]["w"])
                   - p0["ctx2pool_grd"]["w"]).max()
     assert d_ft < d_main * 0.5, (d_main, d_ft)
+
+
+def test_profiler_hooks_capture_trace(tmp_path):
+    """cfg.profile_dir wires jax.profiler into fit_epoch: a trace
+    directory must appear after one epoch (SURVEY §5: the reference
+    had no profiling at all)."""
+    import os
+
+    prof_dir = str(tmp_path / "trace")
+    cfg = tiny_test_config(profile_dir=prof_dir,
+                           learning_rate_decay_start=-1)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    class OneBatchLoader:
+        def __iter__(self):
+            for seed in range(6):
+                b = synthetic_batch(cfg, cfg.batch_size, seed=seed)
+                yield {k: jnp.asarray(v) for k, v in b.items()
+                       if k != "seg_id"}
+
+    state, metrics = trainer.fit_epoch(state, OneBatchLoader(), 0)
+    assert "loss" in metrics
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found += [f for f in files if f.endswith(".xplane.pb")
+                  or "trace" in f]
+    assert found, f"no profiler artifacts under {prof_dir}"
