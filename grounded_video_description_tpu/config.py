@@ -126,6 +126,13 @@ class GVDConfig:
     remat: bool = True          # jax.checkpoint the decode scan + obj_interact in training (memory for FLOPs)
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
+    tensorboard_dir: Optional[str] = None  # optional TB scalar sink
+    async_checkpoint: bool = False      # don't block on Orbax writes
+    # multi-host (multi-slice) initialization via jax.distributed —
+    # DCN coordination; single-host runs leave these at defaults
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
 
     # ---- populated from the dataset at build time (main.py:599-613) ----
     vocab_size: int = 0

@@ -26,19 +26,33 @@ def _abs(path: str) -> str:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, *, async_save: bool = False):
+        """async_save: Orbax writes proceed in the background; training
+        resumes immediately after scheduling (the device->host copy is
+        still synchronous, so the state snapshot is consistent).  Call
+        `wait()` (or the next save/restore, which waits implicitly)
+        before reading the files back."""
         self.dir = _abs(directory)
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
 
     # ------------------------------------------------------------------ #
 
-    def _save_tree(self, name: str, tree: Any):
-        path = os.path.join(self.dir, name)
-        self._ckptr.save(path, tree, force=True)
+    def wait(self):
         self._ckptr.wait_until_finished()
 
+    def _save_tree(self, name: str, tree: Any):
+        path = os.path.join(self.dir, name)
+        if self.async_save:
+            # at most one outstanding async write
+            self._ckptr.wait_until_finished()
+        self._ckptr.save(path, tree, force=True)
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
+
     def _restore_tree(self, name: str, template: Any) -> Any:
+        self._ckptr.wait_until_finished()
         path = os.path.join(self.dir, name)
         return self._ckptr.restore(path, template)
 

@@ -14,12 +14,28 @@ from typing import Dict, Optional
 
 
 class MetricLogger:
-    """Append-only JSONL metrics sink (timestamps added)."""
+    """Append-only JSONL metrics sink (timestamps added), with an
+    optional TensorBoard scalar mirror (lazy tf import)."""
 
-    def __init__(self, path: Optional[str] = None, echo: bool = False):
+    def __init__(self, path: Optional[str] = None, echo: bool = False,
+                 tensorboard_dir: Optional[str] = None):
         self.path = path
         self.echo = echo
         self.history = []
+        self._tb = None
+        self._tb_dir = tensorboard_dir
+        self._tb_step = 0
+
+    def _tb_writer(self):
+        if self._tb is None and self._tb_dir:
+            try:
+                from flax.metrics import tensorboard
+
+                self._tb = tensorboard.SummaryWriter(self._tb_dir)
+            except Exception as e:  # tf not installed -> JSONL only
+                print(f"[logging] tensorboard sink unavailable: {e}")
+                self._tb_dir = None
+        return self._tb
 
     def log(self, metrics: Dict):
         rec = {"ts": time.time(),
@@ -29,8 +45,19 @@ class MetricLogger:
         if self.path:
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        tb = self._tb_writer()
+        if tb is not None:
+            step = int(rec.get("step", self._tb_step))
+            self._tb_step = max(self._tb_step, step) + 1
+            for k, v in rec.items():
+                if k not in ("ts", "step") and isinstance(v, float):
+                    tb.scalar(k, v, step)
         if self.echo:
             print(json.dumps(rec))
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.flush()
 
 
 class ProfilerHooks:

@@ -72,8 +72,19 @@ def build_driver_mesh(cfg):
     `--mesh_shape D M` selects DP x TP explicitly; with no flag, all
     visible devices become one 'data' axis.  Returns (cfg, mesh|None) —
     cfg gains `vocab_pad_to` when a model axis is active so the TP
-    rules can shard the vocab logit (4905 is odd)."""
+    rules can shard the vocab logit (4905 is odd).
+
+    Multi-host: `--coordinator_address host:port --num_processes N
+    --process_id i` initializes jax.distributed first, so
+    jax.devices() spans the slice and the mesh's collectives ride
+    ICI within hosts / DCN across them."""
     import jax
+
+    if cfg.coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=cfg.coordinator_address,
+            num_processes=cfg.num_processes,
+            process_id=cfg.process_id)
 
     from grounded_video_description_tpu.parallel import make_mesh
 
@@ -132,8 +143,10 @@ def main(argv=None):
     state = trainer.init_state(params=variables["params"],
                                model_state=variables["state"])
     state = trainer.shard_state(state)
-    ckpt = CheckpointManager(cfg.checkpoint_path)
-    logger = MetricLogger(cfg.log_jsonl)
+    ckpt = CheckpointManager(cfg.checkpoint_path,
+                             async_save=cfg.async_checkpoint)
+    logger = MetricLogger(cfg.log_jsonl,
+                          tensorboard_dir=cfg.tensorboard_dir)
 
     infos = {"epoch": 0, "best_val_score": None}
     resume_dir = cfg.start_from
@@ -197,6 +210,8 @@ def main(argv=None):
             print(f"checkpoint saved (best={best_flag}, "
                   f"CIDEr={current:.4f})")
 
+    ckpt.wait()          # drain any in-flight async checkpoint write
+    logger.close()
     return 0
 
 
