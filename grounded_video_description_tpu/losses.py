@@ -25,17 +25,22 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask.astype(bool), x, 0.0)) / denom
 
 
-def lm_criterion(decoded: jnp.ndarray, att2_weights: jnp.ndarray,
-                 ground_weights: jnp.ndarray, target: jnp.ndarray,
-                 att2_target: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """LM + attention + grounding losses.
+def lm_criterion_with_counts(
+        decoded: jnp.ndarray, att2_weights: jnp.ndarray,
+        ground_weights: jnp.ndarray, target: jnp.ndarray,
+        att2_target: jnp.ndarray):
+    """LM + attention + grounding losses, plus their mask counts.
+
+    The counts let an explicit-SPMD step turn per-shard means into the
+    exact global masked mean (sum_d mean_d * count_d / sum_d count_d)
+    when shards carry different numbers of selected elements.
 
     decoded:        (B, S, V) log-probabilities.
     att2_weights:   (B, S, R) masked region-attention logits.
     ground_weights: (B, S, R) masked grounding logits.
     target:         (B, S) int token targets (0 == pad/end).
     att2_target:    (B, S, R) {0,1} ROI supervision labels.
+    Returns (lm, att2, grd, txt_count, roi_count).
     """
     decoded = decoded.astype(jnp.float32)
     att2_weights = att2_weights.astype(jnp.float32)
@@ -49,13 +54,26 @@ def lm_criterion(decoded: jnp.ndarray, att2_weights: jnp.ndarray,
     nll = -jnp.take_along_axis(decoded, target[..., None], axis=2)[..., 0]
     lm_loss = _masked_mean(nll, txt_mask)
 
+    roi_mask = att2_target > 0
     att2_logp = jax.nn.log_softmax(att2_weights, axis=2)
-    att2_loss = -_masked_mean(att2_logp, att2_target > 0)
+    att2_loss = -_masked_mean(att2_logp, roi_mask)
 
     grd_logp = jax.nn.log_softmax(ground_weights, axis=2)
-    ground_loss = -_masked_mean(grd_logp, att2_target > 0)
+    ground_loss = -_masked_mean(grd_logp, roi_mask)
 
-    return lm_loss, att2_loss, ground_loss
+    txt_count = jnp.sum(txt_mask).astype(jnp.float32)
+    roi_count = jnp.sum(roi_mask).astype(jnp.float32)
+    return lm_loss, att2_loss, ground_loss, txt_count, roi_count
+
+
+def lm_criterion(decoded: jnp.ndarray, att2_weights: jnp.ndarray,
+                 ground_weights: jnp.ndarray, target: jnp.ndarray,
+                 att2_target: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LM + attention + grounding losses (see lm_criterion_with_counts)."""
+    lm, att2, grd, _, _ = lm_criterion_with_counts(
+        decoded, att2_weights, ground_weights, target, att2_target)
+    return lm, att2, grd
 
 
 def cls_criterion(sim_mat_static: jnp.ndarray, sim_target: jnp.ndarray
@@ -69,6 +87,13 @@ def cls_criterion(sim_mat_static: jnp.ndarray, sim_target: jnp.ndarray
     The loss is BCE(prob_of_true_class, 1) over positions with a
     non-zero target, i.e. -mean log p[target].
     """
+    cls, _ = cls_criterion_with_counts(sim_mat_static, sim_target)
+    return cls
+
+
+def cls_criterion_with_counts(sim_mat_static: jnp.ndarray,
+                              sim_target: jnp.ndarray):
+    """cls BCE plus its mask count (see lm_criterion_with_counts)."""
     gathered = jnp.take_along_axis(
         sim_mat_static, sim_target.astype(jnp.int32), axis=1)  # (B, K, R)
     mask = sim_target > 0
@@ -76,7 +101,7 @@ def cls_criterion(sim_mat_static: jnp.ndarray, sim_target: jnp.ndarray
     # zero probability contributes exactly 100, not inf) — matched here
     # for differential parity with model.py:348
     bce = jnp.minimum(-jnp.log(jnp.maximum(gathered, 1e-45)), 100.0)
-    return _masked_mean(bce, mask)
+    return _masked_mean(bce, mask), jnp.sum(mask).astype(jnp.float32)
 
 
 def total_loss(lm, att2, grd, cls, *, w_att2: float, w_grd: float,

@@ -474,7 +474,8 @@ class GVDModel:
         # region-cls supervision (model.py:342-355)
         sim_target = sim_mat_target(overlaps, gt_boxes[:, :, 5])  # (B, K, R)
         if not eval_obj_ground:
-            cls_loss = L.cls_criterion(enc["sim_mat_static"], sim_target)
+            cls_loss, cls_count = L.cls_criterion_with_counts(
+                enc["sim_mat_static"], sim_target)
             cls_out = cls_loss
         else:
             pred_cls = jnp.argmax(enc["sim_mat_static"], axis=1)  # (B, R)
@@ -501,8 +502,15 @@ class GVDModel:
                 p["cap_model"], encodings, seq, n_heads=6,
                 drop=cfg.enc_drop, train=train, rng=r[4])
             zero = jnp.zeros(())
+            # txt_count mirrors the captioner's masked-token count
+            tgt_pos = seq[:, 1:] > 0
+            txt_count = (jnp.sum(tgt_pos[:, :-1]) + sb).astype(
+                jnp.float32)
             return ({"lm_loss": lm_loss, "att2_loss": zero,
-                     "ground_loss": zero, "cls_loss": zero}, new_bn)
+                     "ground_loss": zero, "cls_loss": zero,
+                     "txt_count": txt_count,
+                     "roi_count": jnp.ones(()),
+                     "cls_count": jnp.ones(())}, new_bn)
 
         # ---- per-step supervision tensors, precomputed (B*, T, ...) ----
         # ROI labels: box_mask at step i+1 over all seq_per_img
@@ -580,12 +588,18 @@ class GVDModel:
                 alpha_params=(p.get("alpha_net")
                               if self.grounder_additive else None),
                 additive_cat=cfg.region_attn_mode == "cat")
-            lm_loss, att2_loss, ground_loss = L.lm_criterion(
-                decoded, att2_weights, ground_weights,
-                seq[:, 1:Lq + 1], roi_labels)
+            lm_loss, att2_loss, ground_loss, txt_count, roi_count = \
+                L.lm_criterion_with_counts(
+                    decoded, att2_weights, ground_weights,
+                    seq[:, 1:Lq + 1], roi_labels)
             new_vars_state = new_bn
+            # *_count: per-shard mask counts; an explicit-SPMD step
+            # uses them to form exact global masked means when shards
+            # carry different numbers of selected elements
             return ({"lm_loss": lm_loss, "att2_loss": att2_loss,
-                     "ground_loss": ground_loss, "cls_loss": cls_out},
+                     "ground_loss": ground_loss, "cls_loss": cls_out,
+                     "txt_count": txt_count, "roi_count": roi_count,
+                     "cls_count": cls_count},
                     new_vars_state)
         else:
             ground_weights = grounder(

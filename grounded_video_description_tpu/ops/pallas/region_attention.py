@@ -47,9 +47,14 @@ def _kernel(p_pool_ref, att_h_ref, pool_ref, alpha_w_ref, alpha_b_ref,
         l_scr[:] = jnp.zeros_like(l_scr[:])
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
-    # additive scores for this ROI tile
-    att_h = att_h_ref[:]                                     # (BT, H)
-    dot = jnp.tanh(p_pool_ref[:] + att_h[:, None, :])        # (BT, RT, H)
+    # additive scores for this ROI tile.  Banks arrive in the caller's
+    # compute dtype (bf16 in production) and are upcast per-tile in
+    # VMEM — casting in HBM before the call would double the traffic
+    # of the very op this kernel exists to keep bandwidth-minimal.
+    f32 = jnp.float32
+    att_h = att_h_ref[:].astype(f32)                         # (BT, H)
+    dot = jnp.tanh(p_pool_ref[:].astype(f32)
+                   + att_h[:, None, :])                      # (BT, RT, H)
     scores = jnp.sum(dot * alpha_w_ref[0][None, None, :], axis=2)
     scores = scores + alpha_b_ref[0, 0]                      # (BT, RT)
 
@@ -65,7 +70,7 @@ def _kernel(p_pool_ref, att_h_ref, pool_ref, alpha_w_ref, alpha_b_ref,
     p = jnp.exp(att_masked - m_new)                          # (BT, RT)
     l_new = l_old * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_new = acc_scr[:] * corr + jnp.sum(
-        p[:, :, None] * pool_ref[:], axis=1)                 # (BT, D)
+        p[:, :, None] * pool_ref[:].astype(f32), axis=1)     # (BT, D)
 
     m_scr[:, :1] = m_new
     l_scr[:, :1] = l_new
@@ -92,6 +97,9 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
     B, R, H = p_pool_feats.shape
     D = pool_feats.shape[-1]
     f32 = jnp.float32
+    # the kernel accumulates in f32; return in the caller's compute
+    # dtype so the decode scan carry keeps a stable type under bf16
+    out_dtype = p_pool_feats.dtype
 
     # pad B to the batch tile and R to the ROI tile; padded rows/ROIs
     # are fully masked (their grd logits are dropped on return)
@@ -152,9 +160,9 @@ def fused_region_attention(p_pool_feats: jnp.ndarray, att_h: jnp.ndarray,
             pltpu.VMEM((BT, D), f32),     # running weighted sum
         ],
         interpret=interpret,
-    )(p_pool_feats.astype(f32), att_h.astype(f32),
-      pool_feats.astype(f32), alpha_w2, alpha_b,
+    )(p_pool_feats, att_h.astype(f32), pool_feats, alpha_w2, alpha_b,
       att_mask.astype(f32), pnt_mask.astype(f32))
 
     att_res, grd = out
-    return att_res[:B], grd[:B, :R]
+    return (att_res[:B].astype(out_dtype),
+            grd[:B, :R].astype(out_dtype))

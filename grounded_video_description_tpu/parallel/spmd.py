@@ -31,23 +31,46 @@ def make_shardmap_train_step(trainer, mesh: Mesh, donate: bool = False):
     batch_spec = {k: P("data") for k in BATCH_KEYS}
     rep = P()
 
+    cfg = trainer.cfg
+
     def per_device_step(params, model_state, opt_state, batch, rng, lr):
         # identical per-device rng: dropout masks match the replicated
-        # semantics of a global batch
+        # semantics of a global batch.
+        #
+        # Every loss component is a MASKED mean, and shards can carry
+        # different mask counts (captions of different lengths, varying
+        # GT-box counts) — averaging per-shard means would bias the
+        # result.  The forward returns each component's local count;
+        # scaling the local mean by count/psum(count) makes both the
+        # loss value and (after a psum of grads) the gradient exactly
+        # equal to the global-batch computation.
         def local_loss(p):
-            loss, (losses, new_state) = trainer.loss_fn(
-                p, model_state, batch, rng)
-            return loss, (losses, new_state)
+            losses, new_state = trainer.model.forward(
+                {"params": p, "state": model_state}, batch,
+                mode="MLE", train=True, rng=rng)
+            frac = {}
+            for name, cnt_key in (("lm_loss", "txt_count"),
+                                  ("att2_loss", "roi_count"),
+                                  ("ground_loss", "roi_count"),
+                                  ("cls_loss", "cls_count")):
+                c = losses[cnt_key]
+                c_tot = jax.lax.psum(c, "data")
+                frac[name] = losses[name] * c / jnp.maximum(c_tot, 1.0)
+            import grounded_video_description_tpu.losses as L
 
-        (loss, (losses, new_model_state)), grads = jax.value_and_grad(
+            loss = L.total_loss(
+                frac["lm_loss"], frac["att2_loss"], frac["ground_loss"],
+                frac["cls_loss"], w_att2=cfg.w_att2, w_grd=cfg.w_grd,
+                w_cls=cfg.w_cls, disable_caption=cfg.disable_caption)
+            return loss, (frac, new_state)
+
+        (loss, (frac, new_model_state)), grads = jax.value_and_grad(
             local_loss, has_aux=True)(params)
 
-        # the global loss is a masked mean; per-device means over equal
-        # shards average to the same value only when mask counts match,
-        # so reduce both the weighted-sum and the metrics explicitly
-        grads = jax.lax.pmean(grads, "data")
-        loss = jax.lax.pmean(loss, "data")
-        losses = jax.lax.pmean(losses, "data")
+        # contributions are already count-scaled: SUM them
+        grads = jax.lax.psum(grads, "data")
+        loss = jax.lax.psum(loss, "data")
+        losses = {k: jax.lax.psum(v, "data") for k, v in frac.items()}
         new_model_state = jax.lax.pmean(new_model_state, "data")
 
         updates, new_opt_state = tx.update(grads, opt_state, params)

@@ -45,15 +45,20 @@ def test_shardmap_step_matches_jit_step():
         state.params, state.model_state, state.opt_state, sharded, rng,
         cfg.learning_rate)
 
-    # per-shard masked means vs global masked mean: equal up to
-    # caption-length imbalance across shards (DataParallel semantics)
+    # the explicit step scales each per-shard masked mean by its local
+    # mask count over the psum'd total (spmd.py), so loss AND update
+    # must equal the global-batch jit step exactly — even though this
+    # synthetic batch has different caption lengths / GT-box counts on
+    # every shard (the round-1 version only matched to ~5% here)
+    # f32 psum reduction order differs from the single-device sum;
+    # tolerance covers association noise only (round 1 needed 5%)
     assert abs(float(m_jit["loss"]) - float(m_sm["loss"])) \
-        / abs(float(m_jit["loss"])) < 0.05
-    # parameters move in the same direction with comparable magnitude
+        / abs(float(m_jit["loss"])) < 1e-4
+    for k in ("lm_loss", "att2_loss", "ground_loss", "cls_loss"):
+        np.testing.assert_allclose(float(m_sm[k]), float(m_jit[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
     d_jit = np.array(p_jit["logit"]["w"]) - np.array(
         state.params["logit"]["w"])
     d_sm = np.array(p_sm["logit"]["w"]) - np.array(
         state.params["logit"]["w"])
-    cos = (d_jit * d_sm).sum() / (
-        np.linalg.norm(d_jit) * np.linalg.norm(d_sm))
-    assert cos > 0.98, cos
+    np.testing.assert_allclose(d_sm, d_jit, rtol=1e-3, atol=1e-6)
