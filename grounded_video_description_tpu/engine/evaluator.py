@@ -257,6 +257,10 @@ class Evaluator:
             seg_ids = batch["seg_id"][:n_valid]
             arrays = {k: v for k, v in batch.items()
                       if k not in ("seg_id", "n_valid")}
+            if self.mesh is not None:
+                from grounded_video_description_tpu.parallel.mesh import (
+                    shard_batch)
+                arrays = shard_batch(self.mesh, arrays)
             out = self._grd(variables, arrays)
             att2_ind = np.array(out["att2_ind"])[:n_valid]  # (B, L, n_frm)
             grd_ind = np.array(out["grd_ind"])[:n_valid]

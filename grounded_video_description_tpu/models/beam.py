@@ -32,6 +32,22 @@ NEG_INF = -1e18
 FINISHED_SCORE = -1000.0
 
 
+def _top_w(flat: jnp.ndarray, w: int):
+    """Top-w values/indices per row via w argmax passes (descending,
+    first-index tie-break — same order contract as jax.lax.top_k, far
+    cheaper than the sort top_k lowers to on TPU for small w)."""
+    n = flat.shape[-1]
+    iota = jnp.arange(n)[None, :]
+    vals, idxs = [], []
+    cur = flat
+    for _ in range(w):
+        i = jnp.argmax(cur, axis=-1)
+        vals.append(jnp.take_along_axis(cur, i[:, None], axis=-1)[:, 0])
+        idxs.append(i)
+        cur = jnp.where(iota == i[:, None], NEG_INF, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
                 beta: float = 1.0
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
@@ -105,7 +121,10 @@ def beam_search(model, params: Dict, enc: Dict, *, beam_size: int,
         total = jnp.where((t == 0) & (row_ids > 0), NEG_INF, total)
 
         flat = total.reshape(B, W * V)
-        new_sum, flat_idx = jax.lax.top_k(flat, W)            # (B, W)
+        # W successive argmax reductions instead of lax.top_k: top_k
+        # lowers to a full per-row sort of the (W * vocab)-wide row on
+        # TPU, which dominates the per-token beam step for small W
+        new_sum, flat_idx = _top_w(flat, W)                   # (B, W)
         parent = flat_idx // V
         word = (flat_idx % V).astype(jnp.int32)
         local_lp = jnp.take_along_axis(

@@ -665,11 +665,23 @@ class GVDModel:
                 pnt_mask, pnt_mask, state, train=False)
             logprobs = self.logit_logprobs(p, out, beta=beta)
             if sample_max:
-                # UNK-suppressed argmax (model.py:589-594)
-                top2_val, top2_idx = jax.lax.top_k(logprobs, 2)
-                use_first = top2_idx[:, 0] != self.unk_idx
-                tok = jnp.where(use_first, top2_idx[:, 0], top2_idx[:, 1])
-                lp = jnp.where(use_first, top2_val[:, 0], top2_val[:, 1])
+                # UNK-suppressed argmax (model.py:589-594).  Two argmax
+                # reductions instead of lax.top_k(k=2): top_k lowers to
+                # a full per-row sort of the 4906-wide vocab on TPU and
+                # dominated the per-token step
+                V = logprobs.shape[1]
+                i1 = jnp.argmax(logprobs, axis=1)
+                v1 = jnp.take_along_axis(
+                    logprobs, i1[:, None], axis=1)[:, 0]
+                masked = jnp.where(
+                    jnp.arange(V)[None, :] == i1[:, None],
+                    MIN_VALUE, logprobs)
+                i2 = jnp.argmax(masked, axis=1)
+                v2 = jnp.take_along_axis(
+                    masked, i2[:, None], axis=1)[:, 0]
+                use_first = i1 != self.unk_idx
+                tok = jnp.where(use_first, i1, i2)
+                lp = jnp.where(use_first, v1, v2)
             else:
                 srng = inp[1]
                 tok = jax.random.categorical(srng, logprobs / temperature,

@@ -118,6 +118,7 @@ def test_cli_multidevice_mesh(synth_root, tmp_path):
         "--mesh_shape", "4", "2",
         "--batch_size", "4",          # divisible by the data axis
         "--language_eval", "--eval_obj_grounding",
+        "--eval_obj_grounding_gt",
         "--w_att2", "0.05", "--w_cls", "0.1",
     ])
     assert cli.main(argv) == 0
