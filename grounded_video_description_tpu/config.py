@@ -123,6 +123,12 @@ class GVDConfig:
     # distribution over real words is bit-identical to the unpadded head
     vocab_pad_to: int = 1
     donate_buffers: bool = True
+    # split each train batch into this many sequential microbatches and
+    # accumulate gradients (lax.scan) — fits the reference's global
+    # batch 240 (main.py:556, 30/GPU x 8) on one chip.  Loss terms are
+    # renormalized by global mask counts, so the update is exactly the
+    # full-batch gradient (see Trainer.make_train_step).
+    grad_accum: int = 1
     remat: bool = True          # jax.checkpoint the decode scan + obj_interact in training (memory for FLOPs)
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
@@ -196,6 +202,12 @@ class GVDConfig:
             raise ValueError(f"unknown t_attn_mode {self.t_attn_mode!r}")
         if self.fc_feat_size != self.rgb_feat_size + self.motion_feat_size:
             raise ValueError("fc_feat_size must equal rgb_feat_size + motion_feat_size")
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum must be >= 1")
+        if self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"batch_size {self.batch_size} must be divisible by "
+                f"grad_accum {self.grad_accum}")
         return self
 
     # ------------------------------------------------------------------ #

@@ -141,15 +141,94 @@ class Trainer:
 
     def make_train_step(self, donate: bool = True):
         tx = self.tx
+        accum = max(int(getattr(self.cfg, "grad_accum", 1)), 1)
+
+        if accum == 1:
+            def train_step(params, model_state, opt_state, batch, rng, lr):
+                (loss, (losses, new_model_state)), grads = \
+                    jax.value_and_grad(self.loss_fn, has_aux=True)(
+                        params, model_state, batch, rng)
+                updates, new_opt_state = tx.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: u * lr, updates)
+                new_params = optax.apply_updates(params, updates)
+                metrics = {"loss": loss, **losses}
+                return new_params, new_model_state, new_opt_state, metrics
+
+            donate_argnums = (0, 1, 2) if donate else ()
+            return jax.jit(train_step, donate_argnums=donate_argnums)
+
+        return self._make_accum_train_step(accum, donate)
+
+    def _make_accum_train_step(self, accum: int, donate: bool):
+        """Gradient accumulation over `accum` sequential microbatches
+        (lax.scan): fits the reference's global batch 240 (main.py:556,
+        30/GPU x 8 GPUs) in one chip's HBM.
+
+        Every loss term is a MASKED mean whose denominator varies per
+        microbatch, so averaging per-microbatch gradients would bias
+        the update.  Instead each microbatch loss is scaled by
+        `count / total_count` — the totals are parameter-free batch
+        statistics (GVDModel.batch_loss_counts) — and the scaled
+        gradients are SUMMED, which reproduces the full-batch gradient
+        exactly (same renormalization as parallel/spmd.py:47-58;
+        tested to ~1e-5 in tests/test_trainer.py).  BatchNorm running
+        stats (att_input_mode both/featmap) update once per microbatch
+        — the same per-shard semantics as the reference's DataParallel
+        BN (main.py:654).
+        """
+        tx = self.tx
+        cfg = self.cfg
+        terms = (("lm_loss", "txt_count"), ("att2_loss", "roi_count"),
+                 ("ground_loss", "roi_count"), ("cls_loss", "cls_count"))
 
         def train_step(params, model_state, opt_state, batch, rng, lr):
-            (loss, (losses, new_model_state)), grads = jax.value_and_grad(
-                self.loss_fn, has_aux=True)(params, model_state, batch, rng)
-            updates, new_opt_state = tx.update(grads, opt_state, params)
+            totals = self.model.batch_loss_counts(batch)
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+            if self.mesh is not None and "data" in self.mesh.shape:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                micro = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh, P(None, "data"))),
+                    micro)
+            rngs = jax.random.split(rng, accum)
+
+            def mb_loss(p, mstate, mb, r):
+                losses, new_state = self.model.forward(
+                    {"params": p, "state": mstate}, mb, mode="MLE",
+                    train=True, rng=r)
+                frac = {name: losses[name] * losses[ck]
+                        / jnp.maximum(totals[ck], 1.0)
+                        for name, ck in terms}
+                loss = L.total_loss(
+                    frac["lm_loss"], frac["att2_loss"],
+                    frac["ground_loss"], frac["cls_loss"],
+                    w_att2=cfg.w_att2, w_grd=cfg.w_grd, w_cls=cfg.w_cls,
+                    disable_caption=cfg.disable_caption)
+                return loss, (frac, new_state)
+
+            def body(carry, x):
+                gacc, lacc, mstate = carry
+                mb, r = x
+                (loss, (frac, new_state)), g = jax.value_and_grad(
+                    mb_loss, has_aux=True)(params, mstate, mb, r)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                upd = {"loss": loss, **frac}
+                lacc = {k: lacc[k] + upd[k] for k in lacc}
+                return (gacc, lacc, new_state), None
+
+            g0 = jax.tree.map(jnp.zeros_like, params)
+            l0 = {k: jnp.zeros(()) for k in
+                  ("loss", "lm_loss", "att2_loss", "ground_loss",
+                   "cls_loss")}
+            (gacc, lacc, new_model_state), _ = jax.lax.scan(
+                body, (g0, l0, model_state), (micro, rngs))
+            updates, new_opt_state = tx.update(gacc, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             new_params = optax.apply_updates(params, updates)
-            metrics = {"loss": loss, **losses}
-            return new_params, new_model_state, new_opt_state, metrics
+            return new_params, new_model_state, new_opt_state, dict(lacc)
 
         donate_argnums = (0, 1, 2) if donate else ()
         return jax.jit(train_step, donate_argnums=donate_argnums)
@@ -185,7 +264,12 @@ class Trainer:
             prof = self._prof = ProfilerHooks(
                 self.cfg.profile_dir, start_step=state.step + 2,
                 num_steps=3)
-        agg: Dict[str, float] = {}
+        # metrics accumulate ON DEVICE (tiny async adds): a host
+        # float() per step would block on the step's outputs and
+        # serialize next-batch H2D + dispatch behind device compute;
+        # syncing only at disp_interval keeps the dispatch pipeline
+        # ahead of the chip
+        agg_dev = None
         n = 0
         t0 = time.time()
         for batch in loader:
@@ -207,10 +291,12 @@ class Trainer:
             if prof is not None:
                 prof.maybe_stop(state.step)
             n += 1
-            for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            agg_dev = metrics if agg_dev is None else jax.tree.map(
+                jnp.add, agg_dev, metrics)
             if log_fn and n % max(self.cfg.disp_interval, 1) == 0:
                 log_fn({"epoch": epoch, "step": state.step, "lr": lr,
-                        **{k: v / n for k, v in agg.items()},
+                        **{k: float(v) / n for k, v in agg_dev.items()},
                         "time_per_batch": (time.time() - t0) / n})
+        agg = {} if agg_dev is None else \
+            {k: float(v) for k, v in agg_dev.items()}
         return state, {k: v / max(n, 1) for k, v in agg.items()}

@@ -425,6 +425,51 @@ class GVDModel:
     # MLE / GRD forward (model.py:283-489)
     # ------------------------------------------------------------------ #
 
+    def batch_loss_counts(self, batch: Dict) -> Dict[str, jnp.ndarray]:
+        """Mask counts (masked-mean denominators) of each MLE loss
+        term, computed from the batch alone — no parameters involved.
+
+        Gradient accumulation scales each microbatch's masked mean by
+        `count / total_count` (the count-renormalization trick the
+        explicit-SPMD step uses, parallel/spmd.py:47-58), which makes
+        the accumulated gradient exactly the full-batch gradient.  The
+        totals come from here; mirrors forward()'s supervision
+        assembly (utils.py:293-328, model.py:342-355 semantics).
+        """
+        cfg = self.cfg
+        gt_seq = batch["gt_seq"].astype(jnp.int32)
+        B = gt_seq.shape[0]
+        S = cfg.seq_per_img
+        Lq = cfg.seq_length
+        sb = B * S
+        tgt = gt_seq[:, :S, :].reshape(sb, Lq)
+        if cfg.att_model == "transformer":
+            # decoder_xe_loss denominator: non-pad targets
+            # (transformer.py:246-247)
+            txt_count = jnp.sum(tgt > 0).astype(jnp.float32)
+            return {"txt_count": txt_count, "roi_count": jnp.ones(()),
+                    "cls_count": jnp.ones(())}
+        # txt mask includes the END position: [1, tgt[:-1] > 0]
+        txt_count = (jnp.sum(tgt[:, :Lq - 1] > 0) + sb).astype(jnp.float32)
+        ppls = batch["ppls"].astype(jnp.float32)
+        gt_boxes = batch["gt_boxes"].astype(jnp.float32)
+        mask_boxes = batch["mask_boxes"].astype(bool)
+        frm_mask = batch["frm_mask"].astype(bool)
+        pnt_mask = batch["pnt_mask"].astype(bool)
+        overlaps = bbox_overlaps(
+            ppls, gt_boxes, frm_mask | pnt_mask[:, 1:, None])
+        sim_target = sim_mat_target(overlaps, gt_boxes[:, :, 5])
+        cls_count = jnp.sum(sim_target > 0).astype(jnp.float32)
+        overlaps_sb = (jnp.repeat(overlaps, S, axis=0) if S > 1
+                       else overlaps)
+        mb = mask_boxes.reshape(sb, -1, Lq + 1)
+        step_mask = jnp.moveaxis(mb[:, :, 1:], 2, 0)           # (L, sb, K)
+        roi_labels = jax.vmap(
+            lambda m: bbox_target(m, overlaps_sb))(step_mask)  # (L, sb, R)
+        roi_count = jnp.sum(roi_labels > 0).astype(jnp.float32)
+        return {"txt_count": txt_count, "roi_count": roi_count,
+                "cls_count": cls_count}
+
     def forward(self, variables: Dict, batch: Dict, *, mode: str = "MLE",
                 train: bool = True, rng=None):
         """mode 'MLE' -> (losses dict, new_model_state);
@@ -502,10 +547,12 @@ class GVDModel:
                 p["cap_model"], encodings, seq, n_heads=6,
                 drop=cfg.enc_drop, train=train, rng=r[4])
             zero = jnp.zeros(())
-            # txt_count mirrors the captioner's masked-token count
-            tgt_pos = seq[:, 1:] > 0
-            txt_count = (jnp.sum(tgt_pos[:, :-1]) + sb).astype(
-                jnp.float32)
+            # txt_count is the EXACT denominator of decoder_xe_loss's
+            # masked mean (transformer.py:246-247: non-pad targets) —
+            # count renormalization (SPMD / grad accumulation) relies
+            # on it; the topdown path uses a different convention
+            # (shifted mask incl. the END slot, losses.py:50-52)
+            txt_count = jnp.sum(seq[:, 1:] > 0).astype(jnp.float32)
             return ({"lm_loss": lm_loss, "att2_loss": zero,
                      "ground_loss": zero, "cls_loss": zero,
                      "txt_count": txt_count,

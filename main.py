@@ -109,6 +109,10 @@ def build_driver_mesh(cfg):
         raise ValueError(
             f"batch_size {cfg.batch_size} must be divisible by the "
             f"mesh data axis {data_size}")
+    if (cfg.batch_size // cfg.grad_accum) % data_size:
+        raise ValueError(
+            f"microbatch {cfg.batch_size}//{cfg.grad_accum} must be "
+            f"divisible by the mesh data axis {data_size}")
     model_size = mesh.shape.get("model", 1)
     if model_size > 1 and cfg.vocab_pad_to % model_size:
         cfg = cfg.replace(vocab_pad_to=model_size)

@@ -8,6 +8,7 @@ setup(
     packages=find_packages(
         include=["grounded_video_description_tpu",
                  "grounded_video_description_tpu.*"]),
+    py_modules=["main"],
     package_data={
         "grounded_video_description_tpu.data": ["native/pack.cc",
                                                 "native/Makefile"],

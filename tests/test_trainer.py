@@ -94,6 +94,70 @@ def test_finetune_param_group_scaled():
     assert d_ft < d_main * 0.5, (d_main, d_ft)
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 must produce EXACTLY the full-batch update: the
+    count-renormalized microbatch losses sum to the global masked
+    means, and their summed gradients equal the full-batch gradient
+    (Trainer._make_accum_train_step).  BN off (att_input_mode=region)
+    and dropout 0 so the paths are deterministic; sgd keeps the
+    update linear in the gradient."""
+    kw = dict(w_att2=0.05, w_grd=0.05, w_cls=0.1, optim="sgd",
+              att_input_mode="region", learning_rate=1e-2,
+              learning_rate_decay_start=-1)
+    batch = None
+    results = {}
+    for accum in (1, 2):
+        cfg = tiny_test_config(grad_accum=accum, **kw)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(rng=jax.random.PRNGKey(7))
+        if batch is None:
+            batch = {k: jnp.asarray(v) for k, v in
+                     synthetic_batch(cfg, 4, seed=11).items()
+                     if k != "seg_id"}
+        step = trainer.make_train_step(donate=False)
+        p, ms, os_, m = step(state.params, state.model_state,
+                             state.opt_state, batch,
+                             jax.random.PRNGKey(3), cfg.learning_rate)
+        results[accum] = (p, m)
+    p1, m1 = results[1]
+    p2, m2 = results[2]
+    for k in ("loss", "lm_loss", "att2_loss", "ground_loss", "cls_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = {jax.tree_util.keystr(pth): leaf
+             for pth, leaf in jax.tree_util.tree_leaves_with_path(p2)}
+    for pth, leaf in flat1:
+        key = jax.tree_util.keystr(pth)
+        np.testing.assert_allclose(np.array(flat2[key]), np.array(leaf),
+                                   rtol=1e-4, atol=1e-6, err_msg=key)
+
+
+def test_grad_accum_transformer_mode():
+    """Accumulation under the transformer captioner (LM-only losses):
+    exact lm parity vs accum=1.  region input mode: BatchNorm (active
+    under both/featmap) computes per-microbatch batch stats, which is
+    intentionally NOT full-batch-identical (same as DataParallel
+    per-GPU BN) — exactness is only claimed without BN."""
+    kw = dict(att_model="transformer", att_input_mode="region",
+              optim="sgd", learning_rate=1e-2,
+              learning_rate_decay_start=-1)
+    lm = {}
+    for accum in (1, 2):
+        cfg = tiny_test_config(grad_accum=accum, **kw)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(rng=jax.random.PRNGKey(9))
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_batch(cfg, 4, seed=2).items()
+                 if k != "seg_id"}
+        step = trainer.make_train_step(donate=False)
+        _, _, _, m = step(state.params, state.model_state,
+                          state.opt_state, batch,
+                          jax.random.PRNGKey(3), cfg.learning_rate)
+        lm[accum] = float(m["lm_loss"])
+    np.testing.assert_allclose(lm[2], lm[1], rtol=1e-5, atol=1e-6)
+
+
 def test_profiler_hooks_capture_trace(tmp_path):
     """cfg.profile_dir wires jax.profiler into fit_epoch: a trace
     directory must appear after one epoch (SURVEY §5: the reference
