@@ -101,8 +101,16 @@ def build_driver_mesh(cfg):
             return cfg, None
         shape = [d, 1]
         devices = devices[:d]
-    if int(np.prod(shape)) <= 1:
+    size = int(np.prod(shape))
+    if size <= 1:
         return cfg, None
+    if size > n:
+        raise ValueError(
+            f"mesh_shape {list(shape)} needs {size} devices, "
+            f"{n} visible")
+    # an explicit shape may use a SUBSET of visible devices (e.g.
+    # [2, 2] on an 8-device host for a scaling study)
+    devices = devices[:size]
     mesh = make_mesh(shape, ("data", "model"), devices=devices)
     data_size = mesh.shape.get("data", 1)
     if cfg.batch_size % data_size:

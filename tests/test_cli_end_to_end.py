@@ -108,15 +108,18 @@ def test_cli_multidevice_mesh(synth_root, tmp_path):
     """Full driver on the virtual 8-device CPU mesh: DP=4 x TP=2.
     The reference's multi-GPU entry point is nn.DataParallel
     (main.py:654-655); ours is a jit-sharded mesh with the vocab
-    logit padded to the model axis and sharded."""
+    logit padded to the model axis and sharded.  grad_accum=2 on top
+    exercises the accumulation scan's microbatch sharding constraint
+    (each microbatch of 2 spans the 2-device data axis)."""
     import main as cli
 
     root, cfg, paths = synth_root
     ckpt_dir = str(tmp_path / "save_mesh")
     argv = _argv(cfg, paths, [
         "--checkpoint_path", ckpt_dir, "--id", "cimesh",
-        "--mesh_shape", "4", "2",
-        "--batch_size", "4",          # divisible by the data axis
+        "--mesh_shape", "2", "2",
+        "--batch_size", "4",          # 2 microbatches of 2 over DP=2
+        "--grad_accum", "2",
         "--language_eval", "--eval_obj_grounding",
         "--eval_obj_grounding_gt",
         "--w_att2", "0.05", "--w_cls", "0.1",
