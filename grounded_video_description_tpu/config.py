@@ -236,7 +236,11 @@ class GVDConfig:
         for f in dataclasses.fields(cls):
             name = "--" + f.name
             if f.type in ("bool", bool):
-                parser.add_argument(name, action="store_true", default=None)
+                # --flag / --no-flag: default-True fields (remat,
+                # donate_buffers) must be disableable from the CLI
+                parser.add_argument(name,
+                                    action=argparse.BooleanOptionalAction,
+                                    default=None)
             elif f.name in ("densecap_references", "mesh_shape", "mesh_axes"):
                 parser.add_argument(name, type=str, nargs="+", default=None)
             else:
