@@ -257,7 +257,9 @@ class GVDModel:
             conv = birnn(p["context_enc"], conv, mode=cfg.t_attn_mode,
                          hidden=cfg.rnn_size // 2,
                          dropout_rate=cfg.enc_drop,
-                         train=train, rng=r[9])
+                         train=train, rng=r[9],
+                         use_pallas=(cfg.use_pallas_rnn
+                                     and jax.default_backend() == "tpu"))
             # zero frames outside the segment window (model.py:303-305, 401)
             t_ids = jnp.arange(cfg.t_attn_size)[None, :]
             inside = ((t_ids >= sample_idx[:, :1])
