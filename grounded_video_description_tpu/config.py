@@ -118,6 +118,12 @@ class GVDConfig:
     # INFERENCE (training keeps the differentiable scan): measured
     # 1.22x the XLA scan on v5e (docs/DESIGN.md); auto-disabled off-TPU
     use_pallas_rnn: bool = True
+    # fused flash self-attention for the obj_interact region encoder
+    # at INFERENCE.  Default OFF: measured 74.9 vs 61.4 ms encode on
+    # v5e — the (batch*heads) grid of whole-K VMEM steps pays more in
+    # per-step overhead than it saves in score traffic; XLA's batched
+    # per-head einsums win (docs/DESIGN.md).  Kept as contingency.
+    use_pallas_mha: bool = False
     quantize_banks: bool = False        # int8 attention banks at decode time
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])

@@ -231,7 +231,9 @@ class GVDModel:
             def _obj_interact(pf):
                 return xf.encoder_apply(
                     p["obj_interact"], pf, n_heads=6,
-                    drop=cfg.enc_drop, train=train, rng=r[6])[-1]
+                    drop=cfg.enc_drop, train=train, rng=r[6],
+                    use_pallas=(cfg.use_pallas_mha
+                                and jax.default_backend() == "tpu"))[-1]
 
             if train and cfg.remat:
                 # the (B, R, R) attention intermediates dominate

@@ -133,16 +133,35 @@ def _merge_heads(x: jnp.ndarray, d_model: int) -> jnp.ndarray:
 
 
 def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
-         drop: float, train: bool, rng) -> jnp.ndarray:
-    """Multi-head attention; identical math via two schedules:
+         drop: float, train: bool, rng,
+         use_pallas: bool = False) -> jnp.ndarray:
+    """Multi-head attention; identical math via three schedules:
 
     * packed (all heads in one batched einsum) for short sequences;
     * head-sequential for long KV (the 1000-region obj_interact bank)
       — materializing the full (B, h, T, T) score tensor there is
-      HBM-bound and measured ~12% slower end-to-end on v5e.
+      HBM-bound and measured ~12% slower end-to-end on v5e;
+    * fused Pallas flash kernel (ops/pallas/mha.py) for long KV at
+      inference when `use_pallas` — scores never leave VMEM.
     """
     d_model = query.shape[-1]
     scale = math.sqrt(d_model)       # shared scale (transformer.py:94)
+
+    if (use_pallas and not train and not causal
+            and key_.shape[1] > 256):
+        from grounded_video_description_tpu.ops.pallas.mha import (
+            flash_self_attention)
+        B, T = query.shape[:2]
+        # (B, T, h, d) -> (B*h, T, d); q pre-scaled so the kernel's
+        # softmax(q k^T) matches softmax(scores / scale)
+        def heads_first(x):
+            return jnp.moveaxis(x, 2, 1).reshape(-1, T, x.shape[-1])
+        q = heads_first(_split_heads(linear(p["wq"], query), n_heads))
+        k = heads_first(_split_heads(linear(p["wk"], key_), n_heads))
+        v = heads_first(_split_heads(linear(p["wv"], value), n_heads))
+        o = flash_self_attention(q / jnp.asarray(scale, q.dtype), k, v)
+        o = jnp.moveaxis(o.reshape(B, n_heads, T, -1), 1, 2)
+        return linear(p["wo"], _merge_heads(o, d_model))
 
     if key_.shape[1] <= 256:
         q = _split_heads(linear(p["wq"], query), n_heads)
@@ -187,7 +206,8 @@ def _ff(p, x):
 
 def encoder_apply(p, x: jnp.ndarray, *, n_heads: int, drop: float,
                   train: bool = False, rng=None,
-                  mask: Optional[jnp.ndarray] = None) -> List[jnp.ndarray]:
+                  mask: Optional[jnp.ndarray] = None,
+                  use_pallas: bool = False) -> List[jnp.ndarray]:
     """Returns the list of per-layer encodings (transformer.py:177-190)."""
     if mask is not None:
         x = x * mask
@@ -196,7 +216,7 @@ def encoder_apply(p, x: jnp.ndarray, *, n_heads: int, drop: float,
         r1, r2, r3, rng = (jax.random.split(rng, 4) if rng is not None
                            else (None, None, None, None))
         a = _mha(lp["selfattn"], x, x, x, n_heads=n_heads, causal=False,
-                 drop=drop, train=train, rng=r1)
+                 drop=drop, train=train, rng=r1, use_pallas=use_pallas)
         x = _residual(lp["ln1"], x, a, drop=drop, train=train, rng=r2)
         f = _ff(lp["ff"], x)
         x = _residual(lp["ln2"], x, f, drop=drop, train=train, rng=r3)

@@ -98,3 +98,42 @@ def test_birnn_via_flag_matches_scan():
     a = birnn(p, xs, mode="bigru", hidden=8)
     b = birnn(p, xs, mode="bigru", hidden=8, train=True, use_pallas=True)
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)
+
+
+def test_flash_self_attention_matches_einsum():
+    """ops/pallas/mha.py vs the plain softmax(qk^T)v einsum,
+    unaligned R (padding masked), interpret mode on CPU."""
+    from grounded_video_description_tpu.ops.pallas.mha import (
+        flash_self_attention)
+
+    N, R, d = 5, 37, 19
+    q = jax.random.normal(jax.random.PRNGKey(0), (N, R, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (N, R, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (N, R, d), jnp.float32)
+    ref = jnp.einsum(
+        "nqk,nkd->nqd",
+        jax.nn.softmax(jnp.einsum("nqd,nkd->nqk", q, k), axis=-1), v)
+    out = flash_self_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=1e-5)
+
+
+def test_mha_pallas_path_matches_einsum_schedule(monkeypatch):
+    """_mha(use_pallas=True) must reproduce the head-sequential
+    einsum schedule on the long-KV branch (obj_interact shape class,
+    T > 256)."""
+    import grounded_video_description_tpu.models.transformer as xf
+    import grounded_video_description_tpu.ops.pallas.mha as M
+
+    orig = M.flash_self_attention
+    monkeypatch.setattr(
+        M, "flash_self_attention",
+        lambda q, k, v: orig(q, k, v, interpret=True))
+
+    B, T, D, h = 2, 300, 48, 6
+    p = xf._mha_init(jax.random.PRNGKey(3), D)
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, D), jnp.float32)
+    a = xf._mha(p, x, x, x, n_heads=h, causal=False, drop=0.0,
+                train=False, rng=None)
+    b = xf._mha(p, x, x, x, n_heads=h, causal=False, drop=0.0,
+                train=False, rng=None, use_pallas=True)
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4)
