@@ -133,6 +133,34 @@ def test_grad_accum_matches_full_batch():
                                    rtol=1e-4, atol=1e-6, err_msg=key)
 
 
+def test_grad_accum_seq_per_img_2():
+    """seq_per_img=2 (multiple captions per segment — a config the
+    published reference crashes on, model.py:436-440): the
+    count-renormalized accumulation must still reproduce the
+    full-batch update exactly."""
+    kw = dict(w_att2=0.05, w_grd=0.05, w_cls=0.1, optim="sgd",
+              att_input_mode="region", seq_per_img=2,
+              learning_rate=1e-2, learning_rate_decay_start=-1)
+    losses = {}
+    for accum in (1, 2):
+        cfg = tiny_test_config(grad_accum=accum, **kw)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(rng=jax.random.PRNGKey(5))
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_batch(cfg, 4, seed=13).items()
+                 if k != "seg_id"}
+        step = trainer.make_train_step(donate=False)
+        _, _, _, m = step(state.params, state.model_state,
+                          state.opt_state, batch,
+                          jax.random.PRNGKey(3), cfg.learning_rate)
+        losses[accum] = {k: float(m[k]) for k in
+                         ("loss", "lm_loss", "att2_loss",
+                          "ground_loss", "cls_loss")}
+    for k, v in losses[1].items():
+        np.testing.assert_allclose(losses[2][k], v, rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
 def test_grad_accum_transformer_mode():
     """Accumulation under the transformer captioner (LM-only losses):
     exact lm parity vs accum=1.  region input mode: BatchNorm (active
