@@ -287,22 +287,18 @@ class Loader:
 
     def __iter__(self) -> Iterator[Dict]:
         sels = self._selections()
-        if self.num_threads <= 1:
-            for sel, n_valid in sels:
-                batch = collate([self.dataset[int(i)] for i in sel])
-                batch["n_valid"] = n_valid
-                yield batch
-            return
-
         # item-level parallel fetch (numpy .npy reads release the GIL)
         # with a bounded pipeline of batches in flight, so the host
         # keeps the chip fed at production batch sizes (the reference
-        # used a 20-worker torch DataLoader, main.py:556-562)
+        # used a 20-worker torch DataLoader, main.py:556-562).
+        # num_threads=1 still pipelines: one worker prefetches the
+        # next batches while the consumer runs the device step.
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         depth = 3
-        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+        with ThreadPoolExecutor(
+                max_workers=max(self.num_threads, 1)) as ex:
             inflight: deque = deque()
             it = iter(sels)
 

@@ -151,7 +151,10 @@ class Trainer:
                 updates, new_opt_state = tx.update(grads, opt_state, params)
                 updates = jax.tree.map(lambda u: u * lr, updates)
                 new_params = optax.apply_updates(params, updates)
-                metrics = {"loss": loss, **losses}
+                # mask counts are renormalization inputs, not metrics
+                metrics = {"loss": loss,
+                           **{k: v for k, v in losses.items()
+                              if not k.endswith("_count")}}
                 return new_params, new_model_state, new_opt_state, metrics
 
             donate_argnums = (0, 1, 2) if donate else ()
@@ -285,8 +288,12 @@ class Trainer:
             params, mstate, ostate, metrics = step_fn(
                 state.params, state.model_state, state.opt_state,
                 batch, sub, lr)
-            if prof is not None and prof._active:
-                jax.block_until_ready(metrics)
+            if prof is not None and prof.active:
+                # sync so the trace window covers the whole step —
+                # via host readback, NOT block_until_ready (unreliable
+                # through the axon tunnel, CLAUDE.md)
+                import numpy as _np
+                _np.asarray(metrics["loss"])
             state = TrainState(params, mstate, ostate, state.step + 1)
             if prof is not None:
                 prof.maybe_stop(state.step)

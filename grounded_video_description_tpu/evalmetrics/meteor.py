@@ -116,7 +116,7 @@ def compute_meteor(gts: Dict[str, List[str]],
         cand = tokenize(res[i][0])
         if not cand:
             continue
-        refs = [tokenize(r) for r in gts[i] if tokenize(r)]
+        refs = [t for t in (tokenize(r) for r in gts[i]) if t]
         if not refs:
             continue
         total += scorer(refs, cand, **kwargs)

@@ -56,13 +56,24 @@ def make_spice_fn(jar_path: Optional[str] = None,
             os.makedirs(cache, exist_ok=True)
             with open(in_file, "w") as f:
                 json.dump(records, f)
-            subprocess.run(
-                [java, "-jar", "-Xmx8G", jar, in_file, "-cache", cache,
-                 "-out", out_file, "-subset", "-silent"],
-                check=True, timeout=timeout)
-            with open(out_file) as f:
-                results = json.load(f)
-        scores = [float(item["scores"]["All"]["f"]) for item in results]
+            try:
+                subprocess.run(
+                    [java, "-jar", "-Xmx8G", jar, in_file, "-cache",
+                     cache, "-out", out_file, "-subset", "-silent"],
+                    check=True, timeout=timeout)
+                with open(out_file) as f:
+                    results = json.load(f)
+                scores = [float(item["scores"]["All"]["f"])
+                          for item in results]
+            except (subprocess.CalledProcessError,
+                    subprocess.TimeoutExpired, OSError,
+                    json.JSONDecodeError, KeyError, ValueError) as e:
+                # a failing jar must not kill the end-of-epoch eval
+                # (hours of training); degrade to 0.0 like the
+                # jar-absent case
+                import warnings
+                warnings.warn(f"SPICE jar failed ({e!r}); scoring 0.0")
+                return 0.0
         return sum(scores) / max(len(scores), 1)
 
     return spice_fn

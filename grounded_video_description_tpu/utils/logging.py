@@ -78,6 +78,10 @@ class ProfilerHooks:
         self.stop_step = start_step + num_steps
         self._active = False
 
+    @property
+    def active(self) -> bool:
+        return self._active
+
     def maybe_start(self, step: int):
         if step == self.start_step and not self._active:
             import jax

@@ -94,9 +94,12 @@ def build_driver_mesh(cfg):
     if shape is None:
         if n <= 1:
             return cfg, None
-        # auto-DP: largest device count that divides the batch
+        # auto-DP: largest device count that divides the MICRObatch
+        # (batch // grad_accum) — with accumulation on, each scanned
+        # microbatch is what shards over the data axis
+        micro = cfg.batch_size // max(cfg.grad_accum, 1)
         d = max((k for k in range(1, n + 1)
-                 if cfg.batch_size % k == 0), default=1)
+                 if micro % k == 0), default=1)
         if d <= 1:
             return cfg, None
         shape = [d, 1]
