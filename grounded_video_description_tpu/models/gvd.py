@@ -216,15 +216,26 @@ class GVDModel:
             loc_feats = dropout(r[3], loc_feats, cfg.loc_drop, train=train)
             label_feat = jnp.swapaxes(sim_mat_static, 1,
                                       2).astype(dt)            # (B, R, C+1)
-            pool_cat = jnp.concatenate(
-                [layer_norm(g_pool_feats), layer_norm(loc_feats),
-                 layer_norm(label_feat)], axis=-1)
+            # pool_embed(concat(LN(g), LN(loc), LN(label))) computed as
+            # three row-block matmuls: the (B, R, 2780) concat never
+            # materializes in HBM (~1.1 GB of write+read saved per
+            # encode at B=100); identical math up to fp association
+            w = p["pool_embed"]["w"].astype(dt)
+            d1 = g_pool_feats.shape[-1]
+            d2 = d1 + loc_feats.shape[-1]
+            pool_pre = (
+                jnp.dot(layer_norm(g_pool_feats).astype(dt), w[:d1])
+                + jnp.dot(layer_norm(loc_feats).astype(dt), w[d1:d2])
+                + jnp.dot(layer_norm(label_feat), w[d2:]))
+            if "b" in p["pool_embed"]:
+                pool_pre = pool_pre + p["pool_embed"]["b"].astype(dt)
+            pool_feats = jax.nn.relu(pool_pre)
         else:
-            pool_cat = g_pool_feats
+            pool_feats = jax.nn.relu(
+                linear(p["pool_embed"], g_pool_feats))
 
         fc_emb = jax.nn.relu(linear(p["fc_embed"], fc_feats))
         fc_emb = dropout(r[4], fc_emb, drop, train=train)
-        pool_feats = jax.nn.relu(linear(p["pool_embed"], pool_cat))
         pool_feats = dropout(r[5], pool_feats, drop, train=train)
 
         if "obj_interact" in p:
