@@ -237,7 +237,16 @@ ARRAY_KEYS = ("seg_feat", "input_seq", "gt_seq", "num", "ppls", "gt_boxes",
 
 
 def collate(items: List[Dict]) -> Dict:
-    batch = {k: np.stack([it[k] for it in items]) for k in ARRAY_KEYS}
+    # preallocate + per-item copy: np.stack takes a pathological slow
+    # path on this numpy (measured 0.03 GB/s vs 1.7 GB/s for copyto —
+    # ~70x) and collate dominated loader time at flagship dims
+    batch = {}
+    for k in ARRAY_KEYS:
+        first = np.asarray(items[0][k])
+        out = np.empty((len(items),) + first.shape, first.dtype)
+        for i, it in enumerate(items):
+            out[i] = it[k]
+        batch[k] = out
     batch["seg_id"] = [it["seg_id"] for it in items]
     return batch
 

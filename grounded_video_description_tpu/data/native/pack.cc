@@ -33,10 +33,18 @@ void pack_segment(const double* proposals, int64_t num_pps_in,
                   float* pad_feat, uint8_t* pad_frm_mask) {
   const int64_t n = std::min(num_pps_in, max_proposal);
 
-  std::memset(pad_proposals, 0, sizeof(float) * max_proposal * 7);
-  std::memset(pad_feat, 0, sizeof(float) * max_proposal * feat_dim);
-  std::memset(pad_pnt_mask, 1, max_proposal);
-  std::memset(pad_frm_mask, 1, max_proposal * max_box);
+  // zero/mask only the padded TAIL up front; live rows are written
+  // (or zeroed when masked) in the loop below — a full-buffer memset
+  // doubled the memory traffic of the hot 8 MB feature block
+  if (n < max_proposal) {
+    std::memset(pad_proposals + n * 7, 0,
+                sizeof(float) * (max_proposal - n) * 7);
+    std::memset(pad_feat + n * feat_dim, 0,
+                sizeof(float) * (max_proposal - n) * feat_dim);
+    std::memset(pad_pnt_mask + n, 1, max_proposal - n);
+    std::memset(pad_frm_mask + n * max_box, 1,
+                (max_proposal - n) * max_box);
+  }
 
   for (int64_t i = 0; i < n; ++i) {
     const double* p = proposals + i * 7;
@@ -52,8 +60,16 @@ void pack_segment(const double* proposals, int64_t num_pps_in,
     for (int64_t j = 0; j < num_box; ++j) {
       fm[j] = (frm != gt_frms[j]) ? 1 : 0;
     }
+    if (num_box < max_box) {           // pad-box columns stay masked
+      std::memset(fm + num_box, 1, max_box - num_box);
+    }
 
-    if (masked) continue;  // masked rows stay zero (dataloader:343-344)
+    if (masked) {  // masked rows are zeroed (dataloader:343-344)
+      std::memset(pad_proposals + i * 7, 0, sizeof(float) * 7);
+      std::memset(pad_feat + i * feat_dim, 0,
+                  sizeof(float) * feat_dim);
+      continue;
+    }
 
     float* out = pad_proposals + i * 7;
     for (int k = 0; k < 7; ++k) out[k] = static_cast<float>(p[k]);
