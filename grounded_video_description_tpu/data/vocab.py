@@ -105,13 +105,21 @@ def build_word_glove(wtoi: Dict[str, str], glove: GloVe) -> np.ndarray:
 
 
 def decode_sequence(itow: Dict[str, str], seq: np.ndarray) -> List[str]:
-    """Token ids -> sentences, stopping at id 0 (misc/utils.py:90-106)."""
+    """Token ids -> sentences, stopping at id 0 (misc/utils.py:90-106).
+
+    Byte-exact with the reference, including its quirk of appending the
+    separator BEFORE checking the stop token (utils.py:97-101): a
+    sentence terminated early at position j>=1 carries a trailing
+    space.  The densecap submission JSON is diffed byte-for-byte
+    against the reference driver's, so the quirk is load-bearing."""
     out = []
     for row in np.asarray(seq):
-        words = []
-        for ix in row:
+        txt = ""
+        for j, ix in enumerate(row):
+            if j >= 1:
+                txt += " "
             if ix == 0:
                 break
-            words.append(itow[str(int(ix))])
-        out.append(" ".join(words))
+            txt += itow[str(int(ix))]
+        out.append(txt)
     return out

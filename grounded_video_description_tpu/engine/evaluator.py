@@ -177,6 +177,9 @@ class Evaluator:
                 ev.evaluate()
                 for m, v in ev.scores.items():
                     stats[m] = float(np.mean(v))
+                # which of the 3 scorer variants produced METEOR —
+                # values differ across environments (ADVICE r2)
+                stats["meteor_impl"] = ev.meteor_impl
                 print("\nResults Summary (lang eval):")
                 for m in ("Bleu_1", "Bleu_4", "METEOR", "CIDEr", "SPICE"):
                     if m in stats:

@@ -22,7 +22,8 @@ from typing import Callable, Dict, List, Optional
 
 from grounded_video_description_tpu.evalmetrics.bleu import compute_bleu
 from grounded_video_description_tpu.evalmetrics.cider import compute_cider
-from grounded_video_description_tpu.evalmetrics.meteor import compute_meteor
+from grounded_video_description_tpu.evalmetrics.meteor import (
+    compute_meteor, meteor_impl)
 
 
 def segment_tiou(a, b) -> float:
@@ -49,6 +50,9 @@ class DensecapEvaluator:
         with open(prediction_filename) as f:
             self.prediction = json.load(f)["results"]
         self.scores: Dict[str, List[float]] = {}
+        # METEOR values are only comparable across environments when
+        # the scorer variant matches — record which one produced them
+        self.meteor_impl = meteor_impl()
 
     def _gt_segments(self, vid: str):
         out = []

@@ -105,8 +105,30 @@ def compute_meteor_fallback(gts: Dict[str, List[str]],
     return total / max(len(res), 1)
 
 
+def meteor_impl() -> str:
+    """Which of the three scorer variants `compute_meteor` will use in
+    this environment.  The variants differ materially (~0.79 vs ~0.65
+    on a toy pair), so logged METEOR values are only comparable across
+    runs when this tag matches; evaluators record it next to the score."""
+    found = _nltk_meteor()
+    if found is None:
+        return "fallback-exact+stem"
+    _, kwargs = found
+    return "nltk+wordnet" if not kwargs else "nltk+empty-wordnet"
+
+
+_IMPL_LOGGED = False
+
+
 def compute_meteor(gts: Dict[str, List[str]],
                    res: Dict[str, List[str]]) -> float:
+    global _IMPL_LOGGED
+    if not _IMPL_LOGGED:
+        _IMPL_LOGGED = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "METEOR scorer variant: %s", meteor_impl())
     found = _nltk_meteor()
     if found is None:
         return compute_meteor_fallback(gts, res)

@@ -35,7 +35,15 @@ FINISHED_SCORE = -1000.0
 def _top_w(flat: jnp.ndarray, w: int):
     """Top-w values/indices per row via w argmax passes (descending,
     first-index tie-break — same order contract as jax.lax.top_k, far
-    cheaper than the sort top_k lowers to on TPU for small w)."""
+    cheaper than the sort top_k lowers to on TPU for small w).
+
+    PRECONDITION: every row must hold at least `w` candidates strictly
+    greater than NEG_INF.  Unlike lax.top_k's distinct-index guarantee,
+    an all-NEG_INF row makes argmax default to index 0 repeatedly and
+    the returned indices collapse to duplicates.  Beam search satisfies
+    this by construction (vocab_size >> w and row 0 of the candidate
+    matrix always carries finite scores); do not reuse elsewhere
+    without checking it."""
     n = flat.shape[-1]
     iota = jnp.arange(n)[None, :]
     vals, idxs = [], []

@@ -123,8 +123,12 @@ def make_sharded_train_step(trainer, mesh: Mesh, donate: bool = True):
         updates, new_opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_model_state, new_opt_state, \
-            {"loss": loss, **losses}
+        # mask counts are renormalization inputs, not metrics — filter
+        # them like Trainer.make_train_step's accum==1 path does
+        metrics = {"loss": loss,
+                   **{k: v for k, v in losses.items()
+                      if not k.endswith("_count")}}
+        return new_params, new_model_state, new_opt_state, metrics
 
     donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)

@@ -134,9 +134,11 @@ def test_loader_pad_last(synth):
 
 def test_decode_sequence():
     itow = {"1": "a", "2": "man", "3": "runs"}
-    seq = np.array([[1, 2, 3, 0, 2], [2, 3, 0, 0, 0]])
+    seq = np.array([[1, 2, 3, 0, 2], [2, 3, 0, 0, 0], [3, 2, 1, 2, 3]])
     out = decode_sequence(itow, seq)
-    assert out == ["a man runs", "man runs"]
+    # trailing space on early-terminated rows matches the reference's
+    # separator-before-stop-check quirk (misc/utils.py:97-101)
+    assert out == ["a man runs ", "man runs ", "runs man a man runs"]
 
 
 def test_glove_fallback_deterministic(tmp_path):
