@@ -32,6 +32,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/gvd_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 REFERENCE_CAPS_PER_SEC = 60.0   # single-GPU reference estimate (see above)
+PEAK_BF16_FLOPS = 197e12        # v5e bf16 peak ("TPU v5 lite" chip)
 
 
 def main():
@@ -62,16 +63,23 @@ def main():
     import numpy as np
 
     fn = jax.jit(model.sample_greedy)
-    # compile + warmup (np.asarray forces a device->host readback:
+    # compile via an explicit lower() so the optimized-HLO FLOP count
+    # is available for MFU accounting (VERDICT r2 §missing-3)
+    compiled = fn.lower(variables, batch).compile()
+    try:
+        flops_per_call = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_call = 0.0
+    # warmup (np.asarray forces a device->host readback:
     # block_until_ready does not fully synchronize through the axon
     # tunnel, so we sync on data)
-    out = fn(variables, batch)
+    out = compiled(variables, batch)
     np.asarray(out[0])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(variables, batch)
+        out = compiled(variables, batch)
     np.asarray(out[0])
     dt = time.perf_counter() - t0
 
@@ -82,6 +90,10 @@ def main():
         "unit": "captions/s",
         "vs_baseline": round(caps_per_sec / REFERENCE_CAPS_PER_SEC, 2),
     }
+    if flops_per_call > 0:
+        achieved = flops_per_call * iters / dt
+        rec["tflops_per_sec"] = round(achieved / 1e12, 1)
+        rec["mfu"] = round(achieved / PEAK_BF16_FLOPS, 3)
     measured = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_MEASURED.json")
     if os.path.isfile(measured):

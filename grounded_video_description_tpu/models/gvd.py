@@ -440,16 +440,24 @@ class GVDModel:
     # MLE / GRD forward (model.py:283-489)
     # ------------------------------------------------------------------ #
 
-    def batch_loss_counts(self, batch: Dict) -> Dict[str, jnp.ndarray]:
-        """Mask counts (masked-mean denominators) of each MLE loss
-        term, computed from the batch alone — no parameters involved.
+    def supervision(self, batch: Dict) -> Dict[str, jnp.ndarray]:
+        """Parameter-free MLE supervision tensors + mask counts,
+        computed from the batch alone (utils.py:293-328,
+        model.py:342-355, 436-440 semantics).
 
-        Gradient accumulation scales each microbatch's masked mean by
-        `count / total_count` (the count-renormalization trick the
-        explicit-SPMD step uses, parallel/spmd.py:47-58), which makes
-        the accumulated gradient exactly the full-batch gradient.  The
-        totals come from here; mirrors forward()'s supervision
-        assembly (utils.py:293-328, model.py:342-355 semantics).
+        Gradient accumulation precomputes this ONCE for the full batch
+        and slices it per microbatch — both for the exact
+        count-renormalization denominators (each microbatch's masked
+        mean is scaled by `count / total_count`, the trick the
+        explicit-SPMD step uses, parallel/spmd.py:47-58, making the
+        accumulated gradient exactly the full-batch gradient) and so
+        `forward` skips rebuilding the (L, sb, R) ROI-label and
+        frame-mask tensors once per microbatch.
+
+        Returns batch-major tensors: sim_target (B, K, R),
+        roi_labels (sb, L, R), step_pnt (sb, L, R+1), plus scalar
+        txt/roi/cls counts.  Transformer family: counts only (it has
+        no box supervision).
         """
         cfg = self.cfg
         gt_seq = batch["gt_seq"].astype(jnp.int32)
@@ -477,18 +485,47 @@ class GVDModel:
         cls_count = jnp.sum(sim_target > 0).astype(jnp.float32)
         overlaps_sb = (jnp.repeat(overlaps, S, axis=0) if S > 1
                        else overlaps)
+        # ROI labels: box_mask at step i+1 over all seq_per_img
+        # (utils.py:307-328 via model.py:431-433)
         mb = mask_boxes.reshape(sb, -1, Lq + 1)
         step_mask = jnp.moveaxis(mb[:, :, 1:], 2, 0)           # (L, sb, K)
         roi_labels = jax.vmap(
             lambda m: bbox_target(m, overlaps_sb))(step_mask)  # (L, sb, R)
         roi_count = jnp.sum(roi_labels > 0).astype(jnp.float32)
+        # frame mask on proposals per step (model.py:436-440),
+        # built from the FIRST caption's box mask (reference quirk)
+        bm0 = mask_boxes[:, 0, :, 1:]                          # (B, K, L)
+        bm0 = jnp.moveaxis(bm0, 2, 0)                          # (L, B, K)
+        keep = (~(bm0[:, :, None, :] | frm_mask[None]))        # (L,B,R,K)
+        no_frame = jnp.sum(keep, axis=3) <= 0                  # (L, B, R)
+        frm_on_prop = jnp.concatenate(
+            [jnp.zeros((Lq, B, 1), bool), no_frame], axis=2)
+        frm_on_prop = frm_on_prop | pnt_mask[None]             # (L, B, R+1)
+        if S > 1:
+            frm_on_prop = jnp.repeat(frm_on_prop, S, axis=1)
         return {"txt_count": txt_count, "roi_count": roi_count,
-                "cls_count": cls_count}
+                "cls_count": cls_count,
+                "sim_target": sim_target,
+                "roi_labels": jnp.moveaxis(roi_labels, 0, 1),
+                "step_pnt": jnp.moveaxis(frm_on_prop, 0, 1)}
+
+    def batch_loss_counts(self, batch: Dict) -> Dict[str, jnp.ndarray]:
+        """Mask counts (masked-mean denominators) of each MLE loss
+        term — the scalar subset of `supervision` (kept for the
+        explicit-SPMD path and tests)."""
+        sup = self.supervision(batch)
+        return {k: sup[k] for k in ("txt_count", "roi_count",
+                                    "cls_count")}
 
     def forward(self, variables: Dict, batch: Dict, *, mode: str = "MLE",
-                train: bool = True, rng=None):
+                train: bool = True, rng=None, sup: Optional[Dict] = None):
         """mode 'MLE' -> (losses dict, new_model_state);
-        mode 'GRD' -> grounding-eval outputs (see below)."""
+        mode 'GRD' -> grounding-eval outputs (see below).
+
+        `sup`: optional precomputed `supervision(batch)` tensors (MLE
+        only) — the grad-accumulation step computes them once for the
+        full batch and passes per-microbatch slices, so the IoU /
+        ROI-label / frame-mask assembly is not redone per microbatch."""
         assert mode in ("MLE", "GRD")
         cfg = self.cfg
         p = variables["params"]
@@ -527,12 +564,15 @@ class GVDModel:
             enc, new_bn = self.encode(p, variables["state"], batch,
                                       train=train, rng=r[0])
 
-        # overlaps with frame+proposal masking (model.py:317-318)
-        overlaps = bbox_overlaps(
-            ppls, gt_boxes, frm_mask | pnt_mask[:, 1:, None])  # (B, R, K)
-
-        # region-cls supervision (model.py:342-355)
-        sim_target = sim_mat_target(overlaps, gt_boxes[:, :, 5])  # (B, K, R)
+        if sup is None:
+            # overlaps with frame+proposal masking (model.py:317-318)
+            overlaps = bbox_overlaps(
+                ppls, gt_boxes, frm_mask | pnt_mask[:, 1:, None])  # (B,R,K)
+            # region-cls supervision (model.py:342-355)
+            sim_target = sim_mat_target(
+                overlaps, gt_boxes[:, :, 5])                   # (B, K, R)
+        else:
+            sim_target = sup["sim_target"]
         if not eval_obj_ground:
             cls_loss, cls_count = L.cls_criterion_with_counts(
                 enc["sim_mat_static"], sim_target)
@@ -551,7 +591,6 @@ class GVDModel:
         p_pool_feats = expand(enc["p_pool_feats"])
         g_pool_feats = expand(enc["g_pool_feats"])
         pnt_mask_sb = expand(pnt_mask)
-        overlaps_sb = expand(overlaps)
 
         # ---- Masked-Transformer captioner family (model.py:411-419).
         # It has no box supervision; only the LM loss is meaningful.
@@ -575,14 +614,20 @@ class GVDModel:
                      "cls_count": jnp.ones(())}, new_bn)
 
         # ---- per-step supervision tensors, precomputed (B*, T, ...) ----
-        # ROI labels: box_mask at step i+1 over all seq_per_img
-        # (utils.py:307-328 via model.py:431-433)
-        mb = mask_boxes.reshape(sb, -1, Lq + 1)               # (sb, K, L+1)
-        step_mask = jnp.moveaxis(mb[:, :, 1:], 2, 0)          # (L, sb, K)
-        roi_labels = jax.vmap(
-            lambda m: bbox_target(m, overlaps_sb))(step_mask)  # (L, sb, R)
-
-        if not eval_obj_ground:
+        if not eval_obj_ground and sup is not None:
+            roi_labels_sb = sup["roi_labels"]                  # (sb, L, R)
+            step_pnt = jnp.moveaxis(sup["step_pnt"], 0, 1)     # (L, sb, R+1)
+        elif not eval_obj_ground:
+            # ROI labels: box_mask at step i+1 over all seq_per_img
+            # (utils.py:307-328 via model.py:431-433); the GRD branch
+            # consumes none of this, so it is only built for MLE
+            overlaps_sb = expand(overlaps)
+            mb = mask_boxes.reshape(sb, -1, Lq + 1)           # (sb, K, L+1)
+            step_mask = jnp.moveaxis(mb[:, :, 1:], 2, 0)      # (L, sb, K)
+            roi_labels = jax.vmap(
+                lambda m: bbox_target(m, overlaps_sb))(
+                    step_mask)                                 # (L, sb, R)
+            roi_labels_sb = jnp.moveaxis(roi_labels, 0, 1)    # (sb, L, R)
             # frame mask on proposals per step (model.py:436-440),
             # built from the FIRST caption's box mask (reference quirk)
             bm0 = mask_boxes[:, 0, :, 1:]                      # (B, K, L)
@@ -629,7 +674,6 @@ class GVDModel:
 
         rnn_output = jnp.moveaxis(outs, 0, 1)                  # (sb, L, rnn)
         att2_weights = jnp.moveaxis(att2_ws, 0, 1)             # (sb, L, R)
-        roi_labels = jnp.moveaxis(roi_labels, 0, 1)            # (sb, L, R)
         frm_mask_output = jnp.moveaxis(step_pnt, 0, 1)         # (sb, L, R+1)
 
         decoded = self.logit_logprobs(p, rnn_output)           # (sb, L, V)
@@ -653,7 +697,7 @@ class GVDModel:
             lm_loss, att2_loss, ground_loss, txt_count, roi_count = \
                 L.lm_criterion_with_counts(
                     decoded, att2_weights, ground_weights,
-                    seq[:, 1:Lq + 1], roi_labels)
+                    seq[:, 1:Lq + 1], roi_labels_sb)
             new_vars_state = new_bn
             # *_count: per-shard mask counts; an explicit-SPMD step
             # uses them to form exact global masked means when shards
