@@ -79,7 +79,45 @@ class AnetDataset:
         (dataloader_anet.py:168-173)."""
         return prop_frms.reshape(-1, 1) != gt_frms.reshape(1, -1)
 
+    def batch_buffers(self, B: int) -> Dict[str, np.ndarray]:
+        """Preallocated batch arrays (static shapes from cfg) that
+        `get_into` fills row-by-row — the one-copy ingest path: the
+        packer writes each segment's 8 MB region-feature block straight
+        into its batch row, with no per-item intermediate + collate
+        copy."""
+        cfg = self.cfg
+        S, Lq = self.seq_per_img, cfg.seq_length
+        R, K = self.max_proposal, self.max_gt_box
+        return {
+            "seg_feat": np.empty((B, cfg.t_attn_size,
+                                  cfg.rgb_feat_size
+                                  + cfg.motion_feat_size), np.float32),
+            "input_seq": np.empty((B, S, Lq + 1, 4), np.int64),
+            "gt_seq": np.empty((B, 10, Lq), np.int64),
+            "num": np.empty((B, 7), np.float32),
+            "ppls": np.empty((B, R, 7), np.float32),
+            "gt_boxes": np.empty((B, K, 6), np.float32),
+            "mask_boxes": np.empty((B, S, K, Lq + 1), bool),
+            "ppls_feat": np.empty((B, R, cfg.att_feat_size), np.float32),
+            "frm_mask": np.empty((B, R, K), bool),
+            "sample_idx": np.empty((B, 2), np.int64),
+            "pnt_mask": np.empty((B, R + 1), bool),
+        }
+
+    def get_into(self, index: int, out: Dict[str, np.ndarray],
+                 row: int) -> str:
+        """Assemble segment `index` directly into row `row` of the
+        `batch_buffers` dict; returns the seg_id."""
+        return self._assemble(index, {k: out[k][row] for k in ARRAY_KEYS})
+
     def __getitem__(self, index: int) -> Dict:
+        out = self.batch_buffers(1)
+        seg_id = self.get_into(index, out, 0)
+        item = {k: out[k][0] for k in ARRAY_KEYS}
+        item["seg_id"] = seg_id
+        return item
+
+    def _assemble(self, index: int, o: Dict[str, np.ndarray]) -> str:
         cfg = self.cfg
         ix = self.split_ix[index]
         seg_id = self.info["videos"][ix]["id"]
@@ -110,10 +148,10 @@ class AnetDataset:
             np.round(num_frm * timestamps[1] / dur)])
         sample_idx = np.clip(np.round(sample_idx), 0,
                              cfg.t_attn_size).astype(int)
-        seg_feature = np.zeros((cfg.t_attn_size, seg_raw.shape[1]),
-                               np.float32)
-        seg_feature[:min(cfg.t_attn_size, num_frm)] = \
-            seg_raw[:cfg.t_attn_size]
+        o["sample_idx"][:] = sample_idx
+        n_fill = min(cfg.t_attn_size, num_frm)
+        o["seg_feat"][:n_fill] = seg_raw[:cfg.t_attn_size]
+        o["seg_feat"][n_fill:] = 0.0
 
         caption = self.caption_file[vid_id]["segments"][seg_idx]
 
@@ -183,52 +221,40 @@ class AnetDataset:
 
         gt_bboxs = gt_bboxs[:, :6]
 
-        S = self.seq_per_img
-        input_seq = np.zeros((S, Lq + 1, 4), np.int64)
-        input_seq[:, 1:] = cap_seq[None, :, :4]
-        gt_seq = np.zeros((10, Lq), np.int64)
-        gt_seq[0] = cap_seq[:, 4]
+        o["input_seq"][:, 0] = 0
+        o["input_seq"][:, 1:] = cap_seq[None, :, :4]
+        o["gt_seq"][:] = 0
+        o["gt_seq"][0] = cap_seq[:, 4]
 
         # static-shape padding (dataloader_anet.py:317-348); the
-        # pad/mask/zero pass runs in the native C++ packer when built
+        # pad/mask/zero pass runs in the native C++ packer, writing
+        # straight into the batch rows (one-copy ingest)
         num_box = min(gt_bboxs.shape[0], self.max_gt_box)
         num_pps = min(proposals.shape[0], self.max_proposal)
 
-        pad_gt_bboxs = np.zeros((self.max_gt_box, 6), np.float32)
-        pad_gt_bboxs[:num_box] = gt_bboxs[:num_box]
-        pad_box_mask = np.ones((S, self.max_gt_box, Lq + 1), np.uint8)
-        pad_box_mask[:, :num_box, 1:] = box_mask[None, :num_box, :]
+        o["gt_boxes"][:num_box] = gt_bboxs[:num_box]
+        o["gt_boxes"][num_box:] = 0.0
+        o["mask_boxes"][:] = True
+        o["mask_boxes"][:, :num_box, 1:] = \
+            box_mask[None, :num_box, :].astype(bool)
 
         from grounded_video_description_tpu.data.native_pack import (
             pack_segment)
-        pad_proposals, pad_pnt_mask, pad_region_feature, pad_frm_mask = \
-            pack_segment(
-                proposals[:num_pps], region_feature[:num_pps],
-                pad_gt_bboxs[:num_box, 4],
-                prop_thresh=cfg.prop_thresh,
-                exclude_bgd=cfg.exclude_bgd_det,
-                max_proposal=self.max_proposal,
-                max_box=self.max_gt_box)
+        o["pnt_mask"][0] = False
+        pack_segment(
+            proposals[:num_pps], region_feature[:num_pps],
+            o["gt_boxes"][:num_box, 4],
+            prop_thresh=cfg.prop_thresh,
+            exclude_bgd=cfg.exclude_bgd_det,
+            max_proposal=self.max_proposal,
+            max_box=self.max_gt_box,
+            out=(o["ppls"], o["pnt_mask"][1:], o["ppls_feat"],
+                 o["frm_mask"]))
 
-        num = np.array([1, num_pps, num_box, int(seg_idx),
-                        max(self.num_seg_per_vid[vid_id]) + 1,
-                        timestamps[0] / dur, timestamps[1] / dur],
-                       np.float32)
-
-        return {
-            "seg_feat": seg_feature,
-            "input_seq": input_seq,
-            "gt_seq": gt_seq,
-            "num": num,
-            "ppls": pad_proposals,
-            "gt_boxes": pad_gt_bboxs,
-            "mask_boxes": pad_box_mask.astype(bool),
-            "ppls_feat": pad_region_feature,
-            "frm_mask": pad_frm_mask,
-            "sample_idx": sample_idx.astype(np.int64),
-            "pnt_mask": np.concatenate([[False], pad_pnt_mask]),
-            "seg_id": seg_id,
-        }
+        o["num"][:] = (1, num_pps, num_box, int(seg_idx),
+                       max(self.num_seg_per_vid[vid_id]) + 1,
+                       timestamps[0] / dur, timestamps[1] / dur)
+        return seg_id
 
 
 ARRAY_KEYS = ("seg_feat", "input_seq", "gt_seq", "num", "ppls", "gt_boxes",
@@ -302,9 +328,14 @@ class Loader:
         # used a 20-worker torch DataLoader, main.py:556-562).
         # num_threads=1 still pipelines: one worker prefetches the
         # next batches while the consumer runs the device step.
+        # One-copy path: when the dataset supports `get_into`, each
+        # worker assembles its segment DIRECTLY into its batch row —
+        # no per-item arrays, no collate copy.
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        one_copy = hasattr(self.dataset, "get_into") \
+            and hasattr(self.dataset, "batch_buffers")
         depth = 3
         with ThreadPoolExecutor(
                 max_workers=max(self.num_threads, 1)) as ex:
@@ -313,9 +344,16 @@ class Loader:
 
             def submit(sel_nv):
                 sel, nv = sel_nv
-                futs = [ex.submit(self.dataset.__getitem__, int(i))
-                        for i in sel]
-                inflight.append((futs, nv))
+                if one_copy:
+                    out = self.dataset.batch_buffers(len(sel))
+                    futs = [ex.submit(self.dataset.get_into, int(i),
+                                      out, row)
+                            for row, i in enumerate(sel)]
+                    inflight.append((futs, out, nv))
+                else:
+                    futs = [ex.submit(self.dataset.__getitem__, int(i))
+                            for i in sel]
+                    inflight.append((futs, None, nv))
 
             for _ in range(depth):
                 nxt = next(it, None)
@@ -323,8 +361,13 @@ class Loader:
                     break
                 submit(nxt)
             while inflight:
-                futs, n_valid = inflight.popleft()
-                batch = collate([f.result() for f in futs])
+                futs, out, n_valid = inflight.popleft()
+                if out is not None:
+                    seg_ids = [f.result() for f in futs]
+                    batch = dict(out)
+                    batch["seg_id"] = seg_ids
+                else:
+                    batch = collate([f.result() for f in futs])
                 batch["n_valid"] = n_valid
                 nxt = next(it, None)
                 if nxt is not None:

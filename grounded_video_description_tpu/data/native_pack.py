@@ -58,11 +58,19 @@ def native_available() -> bool:
 
 def pack_segment(proposals: np.ndarray, region_feat: np.ndarray,
                  gt_frms: np.ndarray, *, prop_thresh: float,
-                 exclude_bgd: bool, max_proposal: int, max_box: int
+                 exclude_bgd: bool, max_proposal: int, max_box: int,
+                 out: Optional[Tuple] = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                             np.ndarray]:
     """Returns (pad_proposals (P,7) f32, pad_pnt_mask (P,) bool,
-    pad_feat (P, C) f32, pad_frm_mask (P, max_box) bool)."""
+    pad_feat (P, C) f32, pad_frm_mask (P, max_box) bool).
+
+    `out`: optional preallocated C-contiguous destination arrays
+    (pad_p f32, pad_m bool, pad_f f32, pad_fm bool) — typically ROWS
+    of the collated batch buffers, so the pack is the ONLY copy of the
+    8 MB region-feature block (no per-item intermediate + collate
+    copy, docs/ROADMAP one-copy ingest).  Every element is fully
+    overwritten; buffers may be np.empty."""
     proposals = np.ascontiguousarray(proposals, np.float64)
     region_feat = np.ascontiguousarray(region_feat, np.float32)
     gt_frms = np.ascontiguousarray(gt_frms, np.float32)
@@ -71,10 +79,19 @@ def pack_segment(proposals: np.ndarray, region_feat: np.ndarray,
 
     lib = _load()
     if lib is not None:
-        pad_p = np.empty((max_proposal, 7), np.float32)
-        pad_m = np.empty((max_proposal,), np.uint8)
-        pad_f = np.empty((max_proposal, feat_dim), np.float32)
-        pad_fm = np.empty((max_proposal, max_box), np.uint8)
+        if out is not None:
+            pad_p, pad_m_b, pad_f, pad_fm_b = out
+            assert pad_m_b.dtype == bool and pad_fm_b.dtype == bool
+            for a in (pad_p, pad_m_b, pad_f, pad_fm_b):
+                assert a.flags.c_contiguous
+            # bool and uint8 share itemsize; the C side writes 0/1
+            pad_m = pad_m_b.view(np.uint8)
+            pad_fm = pad_fm_b.view(np.uint8)
+        else:
+            pad_p = np.empty((max_proposal, 7), np.float32)
+            pad_m = np.empty((max_proposal,), np.uint8)
+            pad_f = np.empty((max_proposal, feat_dim), np.float32)
+            pad_fm = np.empty((max_proposal, max_box), np.uint8)
         lib.pack_segment(
             proposals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ctypes.c_int64(n_in),
@@ -91,14 +108,23 @@ def pack_segment(proposals: np.ndarray, region_feat: np.ndarray,
             pad_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             pad_fm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if out is not None:
+            return pad_p, pad_m_b, pad_f, pad_fm_b
         return pad_p, pad_m.astype(bool), pad_f, pad_fm.astype(bool)
 
     # ---- NumPy fallback (identical semantics) ----
     n = min(n_in, max_proposal)
-    pad_p = np.zeros((max_proposal, 7), np.float32)
-    pad_m = np.ones((max_proposal,), bool)
-    pad_f = np.zeros((max_proposal, feat_dim), np.float32)
-    pad_fm = np.ones((max_proposal, max_box), bool)
+    if out is not None:
+        pad_p, pad_m, pad_f, pad_fm = out
+        pad_p[:] = 0.0
+        pad_m[:] = True
+        pad_f[:] = 0.0
+        pad_fm[:] = True
+    else:
+        pad_p = np.zeros((max_proposal, 7), np.float32)
+        pad_m = np.ones((max_proposal,), bool)
+        pad_f = np.zeros((max_proposal, feat_dim), np.float32)
+        pad_fm = np.ones((max_proposal, max_box), bool)
 
     mask = proposals[:n, 6] <= prop_thresh
     if exclude_bgd:

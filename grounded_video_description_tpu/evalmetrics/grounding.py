@@ -22,6 +22,35 @@ Submission format (written by the driver, main.py:157-163, 446-450):
 {"results": {vid: {seg_idx: {"clss": [...], "idx_in_sent": [...],
     "bbox_for_all_frames": [[[x1,y1,x2,y2] x 10] ...]}}},
  "eval_mode": "GT"|"gen", ...}
+
+Derivation notes (the anet_entities submodule is EMPTY in this
+checkout, so the semantics below are derived from the driver call
+sites and the GVD/ANet-Entities papers, not diffed against the
+upstream script; each self-derived choice is marked):
+
+  * IoU uses the +1 pixel convention (`box_iou`), matching this
+    repo's own geometry (bbox_transform.py:221-222) which the
+    upstream shares (same codebase family).
+  * gt_grd_eval matches a GT object to the FIRST submission entry
+    with the same idx_in_sent (`break` below): the driver emits at
+    most one entry per word position (main.py:142-151 iterates word
+    positions), so duplicates cannot occur in driver-produced files;
+    the break makes hand-built files deterministic.  [self-derived]
+  * gt_grd_eval averages per-class accuracies over the classes that
+    HAVE GT annotations in the split (not the full detector
+    vocabulary): classes without GT cannot contribute an accuracy.
+    Note the driver's own cls-accu aggregation (main.py:171) divides
+    by `vocab_in_split` — the classes appearing in GT sentences —
+    which is the same set here.  [derived from main.py:171]
+  * grd_eval per-class denominators: precision over all predicted
+    occurrences of the class, recall over all GT occurrences; the
+    final average runs over the UNION of predicted and GT classes
+    (a class hallucinated by the captioner contributes 0 precision —
+    in 'all' mode a prediction with no GT counterpart must be a
+    false positive, else precision is gameable).  [self-derived]
+  * grd_eval 'loc' mode skips GT classes the captioner did not
+    predict (pure localization quality given correct classes), per
+    the paper's attn/grd "loc" metric definition.  [paper-derived]
 """
 
 from __future__ import annotations
