@@ -88,6 +88,24 @@ def test_loader_parallel_matches_serial(synth):
             np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_loader_one_copy_matches_collate(synth):
+    """The one-copy path (workers assembling directly into batch rows
+    via get_into) must produce byte-identical batches to collating
+    individual __getitem__ items."""
+    cfg, paths = synth
+    ds = AnetDataset(cfg, split="training")
+    loader = Loader(ds, 2, shuffle=True, seed=7, num_threads=4)
+    sels = loader._selections()
+    loader.epoch = 0  # _selections advanced it; rewind for __iter__
+    for batch, (sel, nv) in zip(loader, sels):
+        ref = collate([ds[int(i)] for i in sel])
+        assert batch["seg_id"] == ref["seg_id"]
+        for k in ref:
+            if k == "seg_id":
+                continue
+            np.testing.assert_array_equal(batch[k], ref[k])
+
+
 def test_loader_parallel_overlaps_io():
     """With IO-bound items (simulated latency), N fetch threads must
     deliver close to N-fold throughput — the round-1 loader ran a

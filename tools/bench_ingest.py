@@ -1,0 +1,85 @@
+"""On-disk ingest throughput at flagship dims (docs/DESIGN.md §Ingest).
+
+Writes a synthetic dataset at production shapes (1000x2048 region
+features + 480-frame features per segment, ~11 MB/segment), then times
+the Loader end-to-end (threaded fetch + one-copy pack into batch
+rows).  Prints one JSON line; pass --keep to reuse an existing dataset
+dir across runs.
+
+Usage: python tools/bench_ingest.py [--segments 240] [--batch 60]
+       [--threads 8] [--root /tmp/gvd_ingest_bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--segments", type=int, default=240)
+    ap.add_argument("--batch", type=int, default=60)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--root", default="/tmp/gvd_ingest_bench")
+    ap.add_argument("--epochs", type=int, default=2)
+    args = ap.parse_args()
+
+    from grounded_video_description_tpu.config import GVDConfig
+    from grounded_video_description_tpu.data.dataset import (
+        AnetDataset, Loader)
+    from grounded_video_description_tpu.data.synthetic_files import (
+        write_synthetic_dataset)
+
+    cfg = GVDConfig(
+        vocab_size=4905, detect_size=431, seq_per_img=1,
+        learning_rate_decay_start=-1).validate()
+
+    marker = os.path.join(args.root, ".complete")
+    n_train_vids = args.segments // 2          # 2 segments per video
+    if not os.path.isfile(marker):
+        os.makedirs(args.root, exist_ok=True)
+        print(f"writing {args.segments} flagship-dim segments to "
+              f"{args.root} (~{args.segments * 11} MB)...")
+        paths = write_synthetic_dataset(
+            args.root, cfg, n_train=n_train_vids, n_val=1)
+        with open(marker, "w") as f:
+            json.dump(paths, f)
+    with open(marker) as f:
+        paths = json.load(f)
+    cfg = cfg.replace(**{k: v for k, v in paths.items()
+                         if k != "densecap_references"})
+
+    ds = AnetDataset(cfg, split="training")
+    loader = Loader(ds, args.batch, shuffle=True, seed=0,
+                    num_threads=args.threads)
+    # warm epoch populates the page cache so the measured epochs time
+    # the CPU pack path, not cold disk
+    n = 0
+    for b in loader:
+        n += b["seg_feat"].shape[0]
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(args.epochs):
+        for b in loader:
+            n += b["seg_feat"].shape[0]
+    dt = time.perf_counter() - t0
+    rec = {
+        "metric": "ingest_seg_per_sec_host",
+        "value": round(n / dt, 2),
+        "unit": "segments/s",
+        "config": (f"{len(ds)} on-disk segments, batch {args.batch}, "
+                   f"{args.threads} threads, one-copy pack, flagship "
+                   "dims, warm page cache"),
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
