@@ -125,6 +125,16 @@ class GVDConfig:
     # per-head einsums win (docs/DESIGN.md).  Kept as contingency.
     use_pallas_mha: bool = False
     quantize_banks: bool = False        # int8 attention banks at decode time
+    # PRNG implementation for the TRAINING dropout stream ("rbg" |
+    # "threefry").  Default rbg: XLA's hardware RngBitGenerator draws
+    # the large (B, R, R) attention-prob dropout masks ~2.8x faster
+    # than threefry on v5e — measured 55.8 -> 36.1 ms per obj_interact
+    # microbatch fwd+bwd, ~12% of the whole train step
+    # (tools/ablate_objattn.py, docs/DESIGN.md).  Same Bernoulli
+    # statistics, different stream; the reference's torch RNG stream
+    # was never matched, so this is not a parity deviation.  Param
+    # INIT always uses threefry (reproducibility across impls).
+    rng_impl: str = "rbg"
     mesh_shape: Optional[List[int]] = None   # e.g. [8] for pure DP, [4, 2] for DP x TP
     mesh_axes: List[str] = field(default_factory=lambda: ["data"])
     # pad the logit head's output width to a multiple of this so the
@@ -210,6 +220,8 @@ class GVDConfig:
             raise ValueError(f"unknown transfer_mode {self.transfer_mode!r}")
         if self.t_attn_mode not in ("bilstm", "bigru"):
             raise ValueError(f"unknown t_attn_mode {self.t_attn_mode!r}")
+        if self.rng_impl not in ("rbg", "threefry"):
+            raise ValueError(f"unknown rng_impl {self.rng_impl!r}")
         if self.fc_feat_size != self.rgb_feat_size + self.motion_feat_size:
             raise ValueError("fc_feat_size must equal rgb_feat_size + motion_feat_size")
         if self.grad_accum < 1:

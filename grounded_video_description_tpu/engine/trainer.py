@@ -89,7 +89,14 @@ class Trainer:
         self.cfg = cfg
         self.model = model or GVDModel(cfg)
         seed = cfg.seed if rng_seed is None else rng_seed
-        self.rng = jax.random.PRNGKey(seed)
+        # dropout stream: rbg's RngBitGenerator draws the (B, R, R)
+        # attention-prob masks ~2.8x faster than threefry on TPU
+        # (tools/ablate_objattn.py); split()s stay threefry-derived so
+        # stream independence is unaffected.  Param init elsewhere
+        # keeps legacy threefry keys.
+        impl = getattr(cfg, "rng_impl", "threefry")
+        self.rng = (jax.random.PRNGKey(seed) if impl == "threefry"
+                    else jax.random.key(seed, impl=impl))
         # device mesh for SPMD execution (replaces nn.DataParallel,
         # main.py:654-655): batches shard on 'data', params follow
         # param_shardings (TP on the padded vocab head when the

@@ -212,3 +212,36 @@ def test_profiler_hooks_capture_trace(tmp_path):
         found += [f for f in files if f.endswith(".xplane.pb")
                   or "trace" in f]
     assert found, f"no profiler artifacts under {prof_dir}"
+
+
+def test_rng_impl_rbg_trains_and_is_stochastic():
+    """Default rng_impl='rbg' (XLA RngBitGenerator — 2.8x faster
+    dropout-mask draws than threefry on TPU, tools/ablate_objattn.py)
+    must flow through the accum scan: finite loss, and distinct rng
+    splits give distinct dropout draws.  threefry remains selectable
+    and produces a DIFFERENT stream (proves the impl switch is live)."""
+    import numpy as np
+
+    losses = {}
+    for impl in ("rbg", "threefry"):
+        cfg = tiny_test_config(grad_accum=2, drop_prob_lm=0.5,
+                               obj_interact=True, rng_impl=impl,
+                               learning_rate_decay_start=-1)
+        trainer = Trainer(cfg)
+        assert (trainer.rng.dtype.name == "key<rbg>") == (impl == "rbg")
+        state = trainer.init_state()
+        step = trainer.make_train_step(donate=False)
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(
+                     cfg, cfg.batch_size, seed=0).items()
+                 if k != "seg_id"}
+        import jax
+        r1, r2 = jax.random.split(trainer.rng)
+        _, _, _, m1 = step(state.params, state.model_state,
+                           state.opt_state, batch, r1, 5e-4)
+        _, _, _, m2 = step(state.params, state.model_state,
+                           state.opt_state, batch, r2, 5e-4)
+        assert np.isfinite(float(m1["loss"]))
+        assert float(m1["loss"]) != float(m2["loss"])
+        losses[impl] = float(m1["loss"])
+    assert losses["rbg"] != losses["threefry"]

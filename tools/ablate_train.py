@@ -44,7 +44,7 @@ def time_step(cfg, iters=5):
              for k, v in synthetic_batch(cfg, cfg.batch_size,
                                          seed=0).items()
              if k != "seg_id"}
-    rng = jax.random.PRNGKey(1)
+    rng = trainer.rng  # respects cfg.rng_impl
     out = step_fn(state.params, state.model_state, state.opt_state,
                   batch, rng, 5e-4)
     np.asarray(out[3]["loss"])

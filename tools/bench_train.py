@@ -61,7 +61,7 @@ def main():
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, B, seed=0).items()
              if k != "seg_id"}
-    rng = jax.random.PRNGKey(1)
+    rng = trainer.rng  # respects cfg.rng_impl
 
     lowered = step_fn.lower(state.params, state.model_state,
                             state.opt_state, batch, rng, 5e-4)
