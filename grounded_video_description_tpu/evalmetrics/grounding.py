@@ -26,7 +26,12 @@ Submission format (written by the driver, main.py:157-163, 446-450):
 Derivation notes (the anet_entities submodule is EMPTY in this
 checkout, so the semantics below are derived from the driver call
 sites and the GVD/ANet-Entities papers, not diffed against the
-upstream script; each self-derived choice is marked):
+upstream script; each self-derived choice is marked).  Wherever the
+upstream script IS available ($ANET_ENTITIES_SCRIPTS or an
+initialized submodule checkout), tests/test_grounding_upstream.py
+runs BOTH evaluators on the same files and asserts equal outputs for
+gt_grd_eval and both grd_eval modes — the same skip-guard pattern as
+the Java-metric fidelity tests:
 
   * IoU uses the +1 pixel convention (`box_iou`), matching this
     repo's own geometry (bbox_transform.py:221-222) which the

@@ -10,10 +10,17 @@ ablation (docs/DESIGN.md).  Variants:
                       (isolates the sequential BiRNN recurrence cost;
                       the per-frame matmuls scale too, but those are
                       ~1/8 of the scan latency at T=480)
-  * no_remat_ref    — listed for table continuity (remat already off)
+  * no_dropout      — all dropout rates 0 (residual RNG+mask cost
+                      after the rbg switch)
+  * seq4            — seq_length 4 instead of 20 (isolates the decode
+                      scan + per-step supervision; ~4/5 of that
+                      bucket removed)
+  * accum4/accum16  — accumulation granularity re-sweep (microbatch
+                      60 / 15) under the rbg RNG default
 
-Prints one JSON line per variant.  Each variant is a fresh compile
-(~1-2 min on the tunnel, service-load dependent).
+Prints one JSON line per variant.  Select a subset by name on argv.
+Each variant is a fresh compile (~1-2 min on the tunnel,
+service-load dependent).
 """
 
 from __future__ import annotations
@@ -69,7 +76,14 @@ def main():
         "full": {},
         "no_obj_interact": {"obj_interact": False},
         "t64": {"t_attn_size": 64},
+        "no_dropout": {"drop_prob_lm": 0.0, "loc_drop": 0.0,
+                       "enc_drop": 0.0},
+        "seq4": {"seq_length": 4},
+        "accum4": {"grad_accum": 4},
+        "accum16": {"grad_accum": 16},
     }
+    if len(sys.argv) > 1:
+        variants = {k: variants[k] for k in sys.argv[1:]}
     results = {}
     for name, over in variants.items():
         cfg = GVDConfig(**{**base, **over}).validate()
