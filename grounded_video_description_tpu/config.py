@@ -124,6 +124,14 @@ class GVDConfig:
     # per-step overhead than it saves in score traffic; XLA's batched
     # per-head einsums win (docs/DESIGN.md).  Kept as contingency.
     use_pallas_mha: bool = False
+    # fused whole-ENCODER-LAYER kernel for obj_interact at INFERENCE
+    # (ops/pallas/encoder_layer.py): QKV + per-head attention + out
+    # proj + both post-LN residual blocks in ONE pallas_call per
+    # layer; (R, R) scores never reach HBM.  Tiles over BATCH only —
+    # the round-2 flash-MHA kernel's 1200 tiny (batch*head) grid steps
+    # were its downfall (use_pallas_mha above).  Default set by
+    # measurement (docs/DESIGN.md); auto-disabled off-TPU.
+    use_pallas_encoder: bool = False
     quantize_banks: bool = False        # int8 attention banks at decode time
     # PRNG implementation for the TRAINING dropout stream ("rbg" |
     # "threefry").  Default rbg: XLA's hardware RngBitGenerator draws

@@ -240,6 +240,14 @@ class GVDModel:
 
         if "obj_interact" in p:
             def _obj_interact(pf):
+                if (not train and cfg.use_pallas_encoder
+                        and jax.default_backend() == "tpu"):
+                    # whole-layer fused kernel: scores stay in VMEM
+                    # (ops/pallas/encoder_layer.py); inference only
+                    from grounded_video_description_tpu.ops.pallas \
+                        .encoder_layer import encoder_apply_fused
+                    return encoder_apply_fused(
+                        p["obj_interact"], pf, n_heads=6)[-1]
                 return xf.encoder_apply(
                     p["obj_interact"], pf, n_heads=6,
                     drop=cfg.enc_drop, train=train, rng=r[6],

@@ -137,3 +137,46 @@ def test_mha_pallas_path_matches_einsum_schedule(monkeypatch):
     b = xf._mha(p, x, x, x, n_heads=h, causal=False, drop=0.0,
                 train=False, rng=None, use_pallas=True)
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4)
+
+
+def test_fused_encoder_layer_matches_xla_path():
+    """Fused encoder-layer kernel vs transformer.encoder_apply at
+    inference: f32, unaligned B and R (padding masked + sliced),
+    interpret mode on CPU."""
+    from grounded_video_description_tpu.models import transformer as xf
+    from grounded_video_description_tpu.ops.pallas.encoder_layer import (
+        encoder_apply_fused)
+
+    D, HEADS, HID, LAYERS = 64, 6, 32, 2        # uneven heads: 11x5+9
+    B, R = 5, 150                                # unaligned on purpose
+    params = xf.encoder_init(jax.random.PRNGKey(0), D, HID, LAYERS)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, R, D), jnp.float32)
+
+    ref = xf.encoder_apply(params, x, n_heads=HEADS, drop=0.0,
+                           train=False)
+    got = encoder_apply_fused(params, x, n_heads=HEADS, bt=2,
+                              interpret=True)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_encoder_layer_bf16_tolerance():
+    """bf16 run stays within ~1 bf16 ulp of the XLA path (the kernel's
+    f32 softmax/LN statistics are the more precise side)."""
+    from grounded_video_description_tpu.models import transformer as xf
+    from grounded_video_description_tpu.ops.pallas.encoder_layer import (
+        encoder_apply_fused)
+
+    D, HEADS, HID = 64, 6, 32
+    B, R = 4, 128
+    params = xf.encoder_init(jax.random.PRNGKey(0), D, HID, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, R, D),
+                          jnp.bfloat16)
+    ref = xf.encoder_apply(params, x, n_heads=HEADS, drop=0.0,
+                           train=False)[-1]
+    got = encoder_apply_fused(params, x, n_heads=HEADS, bt=4,
+                              interpret=True)[-1]
+    diff = np.abs(np.asarray(got, np.float32) - np.asarray(ref, np.float32))
+    assert float(diff.max()) < 0.1, float(diff.max())
