@@ -53,28 +53,30 @@ def _head_slices(d: int, n_heads: int):
     return out
 
 
-def pack_layer_params(lp, n_heads: int, dtype):
+def pack_layer_params(lp, n_heads: int, dtype, pad_to: int = 16):
     """Pack one encoder layer's params for the kernel.
 
-    Returns (wq, wk, wv) as (h, D, dp) with each head's columns in a
-    zero-padded dp-slot, wo as (h, dp, D) with the matching rows, plus
+    Returns (wq, wk, wv) as (D, h*dp) with each head's columns in a
+    zero-padded dp-slot, wo as (h*dp, D) with the matching rows, plus
     the FFN / LN tensors reshaped 2D (TPU wants >= 2D operands)."""
     sa = lp["selfattn"]
     D = sa["wq"]["w"].shape[0]
     slices = _head_slices(D, n_heads)
-    dp = -(-max(s.stop - s.start for s in slices) // 16) * 16
+    dp = -(-max(s.stop - s.start for s in slices) // pad_to) * pad_to
 
     def cols(w):
-        out = jnp.zeros((len(slices), D, dp), dtype)
+        """(D, h*dp): head h's columns in slot [h*dp, h*dp+|h|)."""
+        out = jnp.zeros((D, len(slices) * dp), dtype)
         for h, s in enumerate(slices):
-            out = out.at[h, :, : s.stop - s.start].set(
+            out = out.at[:, h * dp: h * dp + (s.stop - s.start)].set(
                 w[:, s].astype(dtype))
         return out
 
     def rows(w):
-        out = jnp.zeros((len(slices), dp, D), dtype)
+        """(h*dp, D): head h's rows in slot [h*dp, h*dp+|h|)."""
+        out = jnp.zeros((len(slices) * dp, D), dtype)
         for h, s in enumerate(slices):
-            out = out.at[h, : s.stop - s.start, :].set(
+            out = out.at[h * dp: h * dp + (s.stop - s.start), :].set(
                 w[s, :].astype(dtype))
         return out
 
@@ -102,41 +104,57 @@ def _layer_norm_std(x32, gamma, beta, eps=1e-6):
 
 def _kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, g1_ref, be1_ref, g2_ref, be2_ref, o_ref,
-            *, R: int, bt: int, n_heads: int, scale: float):
+            *, R: int, bt: int, n_heads: int, dp: int, scale: float):
     f32 = jnp.float32
+    Rp, D = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[...].reshape(bt * Rp, D)
+    # one wide MXU matmul per projection for the whole tile (N = h*dp)
+    # instead of 6 narrow per-head ones.  Mosaic requires 32-bit
+    # accumulators; downcast after (same as XLA's bf16 einsum)
+    xd = x.dtype
+    q = jax.lax.dot(x, wq_ref[...],
+                    preferred_element_type=f32).astype(xd)
+    k = jax.lax.dot(x, wk_ref[...],
+                    preferred_element_type=f32).astype(xd)
+    v = jax.lax.dot(x, wv_ref[...],
+                    preferred_element_type=f32).astype(xd)
+    obs = []
     for b in range(bt):        # static: each batch row is independent
-        x = x_ref[b]                                         # (Rp, D)
-        acc = jnp.zeros(x.shape, f32)
+        rows = slice(b * Rp, (b + 1) * Rp)
+        os_ = []
         for h in range(n_heads):
-            qh = jax.lax.dot(x, wq_ref[h],
-                             preferred_element_type=f32).astype(x.dtype)
-            kh = jax.lax.dot(x, wk_ref[h],
-                             preferred_element_type=f32).astype(x.dtype)
-            vh = jax.lax.dot(x, wv_ref[h],
-                             preferred_element_type=f32).astype(x.dtype)
+            cols_ = slice(h * dp, (h + 1) * dp)
             s = jax.lax.dot_general(
-                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                q[rows, cols_], k[rows, cols_],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32) * (1.0 / scale)  # (Rp, Rp)
-            if x.shape[0] != R:
+            if Rp != R:
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 s = jnp.where(col >= R, MIN_VALUE, s)
+            # softmax in the compute dtype — the XLA path runs
+            # jax.nn.softmax on bf16 scores, and the elementwise
+            # passes over (Rp, Rp) are VPU-bound in f32
+            s = s.astype(xd)
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=1, keepdims=True)
-            o = jax.lax.dot(p.astype(x.dtype), vh,
-                            preferred_element_type=f32)      # (Rp, dp)
-            acc = acc + jax.lax.dot(o.astype(x.dtype), wo_ref[h],
-                                    preferred_element_type=f32)
-        # residual + LN1 (f32 statistics; XLA runs them bf16)
-        x1 = _layer_norm_std(x.astype(f32) + acc, g1_ref[0], be1_ref[0])
-        x1c = x1.astype(x.dtype)
-        # FFN + residual + LN2
-        hdn = jax.lax.dot(x1c, w1_ref[...], preferred_element_type=f32)
-        hdn = jnp.maximum(hdn + b1_ref[0], 0.0)
-        f = jax.lax.dot(hdn.astype(x.dtype), w2_ref[...],
-                        preferred_element_type=f32) + b2_ref[0]
-        x2 = _layer_norm_std(x1 + f, g2_ref[0], be2_ref[0])
-        o_ref[b] = x2.astype(o_ref.dtype)
+            os_.append(jax.lax.dot(
+                p, v[rows, cols_],
+                preferred_element_type=f32).astype(xd))       # (Rp, dp)
+        obs.append(jnp.concatenate(os_, axis=1))          # (Rp, h*dp)
+    attn = jnp.concatenate(obs, axis=0)                   # (bt*Rp, h*dp)
+    acc = jax.lax.dot(attn, wo_ref[...],
+                      preferred_element_type=f32)         # (bt*Rp, D)
+    # residual + LN1 (f32 statistics; XLA runs them bf16)
+    x1 = _layer_norm_std(x.astype(f32) + acc, g1_ref[0], be1_ref[0])
+    x1c = x1.astype(x.dtype)
+    # FFN + residual + LN2
+    hdn = jax.lax.dot(x1c, w1_ref[...], preferred_element_type=f32)
+    hdn = jnp.maximum(hdn + b1_ref[0], 0.0)
+    f = jax.lax.dot(hdn.astype(x.dtype), w2_ref[...],
+                    preferred_element_type=f32) + b2_ref[0]
+    x2 = _layer_norm_std(x1 + f, g2_ref[0], be2_ref[0])
+    o_ref[...] = x2.astype(o_ref.dtype).reshape(bt, Rp, D)
 
 
 @functools.partial(jax.jit,
@@ -154,22 +172,23 @@ def fused_encoder_layer(x: jnp.ndarray, packed, *, n_heads: int = 6,
     Bp = -(-B // bt) * bt
     if (Rp, Bp) != (R, B):
         x = jnp.pad(x, [(0, Bp - B), (0, Rp - R), (0, 0)])
-    dp = wq.shape[-1]
+    hdp = wq.shape[-1]
+    dp = hdp // n_heads
     H = w1.shape[-1]
     scale = math.sqrt(D)     # shared head scale (transformer.py:94)
 
     resident = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, R=R, bt=bt, n_heads=n_heads,
-                             scale=scale)
+                             dp=dp, scale=scale)
     out = pl.pallas_call(
         kern,
         grid=(Bp // bt,),
         in_specs=[
             pl.BlockSpec((bt, Rp, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            resident((n_heads, D, dp)), resident((n_heads, D, dp)),
-            resident((n_heads, D, dp)), resident((n_heads, dp, D)),
+            resident((D, hdp)), resident((D, hdp)),
+            resident((D, hdp)), resident((hdp, D)),
             resident((D, H)), resident((1, H)),
             resident((H, D)), resident((1, D)),
             resident((1, D)), resident((1, D)),
@@ -192,12 +211,13 @@ def fused_encoder_layer(x: jnp.ndarray, packed, *, n_heads: int = 6,
 
 
 def encoder_apply_fused(p, x: jnp.ndarray, *, n_heads: int,
-                        bt: int = 4, interpret: bool = False):
+                        bt: int = 4, pad_to: int = 16,
+                        interpret: bool = False):
     """Drop-in for transformer.encoder_apply at inference (no mask,
     no dropout): returns the per-layer encoding list."""
     encodings = []
     for lp in p["layers"]:
-        packed = pack_layer_params(lp, n_heads, x.dtype)
+        packed = pack_layer_params(lp, n_heads, x.dtype, pad_to=pad_to)
         x = fused_encoder_layer(x, packed, n_heads=n_heads, bt=bt,
                                 interpret=interpret)
         encodings.append(x)

@@ -48,15 +48,23 @@ def main():
         np.asarray(jax.tree.leaves(out)[0])
         return (time.perf_counter() - t0) / iters
 
+    # reduce the (100, 1000, 1024) output ON DEVICE: a raw readback of
+    # 205 MB through the axon tunnel takes ~1.3 s and would dominate
+    # the timing (the greedy bench only reads back (B, 20) tokens)
+    def reduced(fn):
+        return jax.jit(lambda a: jnp.sum(fn(a).astype(jnp.float32)))
+
     variants = {
-        "xla": jax.jit(lambda a: xf.encoder_apply(
+        "xla": reduced(lambda a: xf.encoder_apply(
             params, a, n_heads=HEADS, drop=0.0, train=False)[-1]),
-        "fused_bt4": jax.jit(lambda a: encoder_apply_fused(
+        "fused_bt4": reduced(lambda a: encoder_apply_fused(
             params, a, n_heads=HEADS, bt=4)[-1]),
-        "fused_bt2": jax.jit(lambda a: encoder_apply_fused(
+        "fused_bt2": reduced(lambda a: encoder_apply_fused(
             params, a, n_heads=HEADS, bt=2)[-1]),
-        "fused_bt10": jax.jit(lambda a: encoder_apply_fused(
-            params, a, n_heads=HEADS, bt=10)[-1]),
+        "fused_bt5": reduced(lambda a: encoder_apply_fused(
+            params, a, n_heads=HEADS, bt=5)[-1]),
+        "fused_bt4_dp256": reduced(lambda a: encoder_apply_fused(
+            params, a, n_heads=HEADS, bt=4, pad_to=256)[-1]),
     }
     which = sys.argv[1:] or list(variants)
     results = {}
@@ -67,11 +75,14 @@ def main():
         print(json.dumps({"variant": name, "ms": results[name],
                           "first_call_s": round(time.perf_counter() - t0,
                                                 1)}), flush=True)
-    # numerical sanity on-device (bf16 tolerance)
+    # numerical sanity on-device (bf16 tolerance, small readback)
     if "xla" in which and any(k.startswith("fused") for k in which):
-        a = np.asarray(variants["xla"](x), np.float32)
-        b = np.asarray(variants["fused_bt4"](x), np.float32)
-        print(json.dumps({"max_abs_diff_bf16": float(np.abs(a - b).max())}))
+        diff = jax.jit(lambda a: jnp.max(jnp.abs(
+            xf.encoder_apply(params, a, n_heads=HEADS, drop=0.0,
+                             train=False)[-1].astype(jnp.float32)
+            - encoder_apply_fused(params, a, n_heads=HEADS,
+                                  bt=4)[-1].astype(jnp.float32))))(x)
+        print(json.dumps({"max_abs_diff_bf16": float(np.asarray(diff))}))
     print(json.dumps({"encoder_kernel_ab": results}))
 
 
