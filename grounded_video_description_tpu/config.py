@@ -134,6 +134,14 @@ class GVDConfig:
     # the bf16 precision envelope (docs/DESIGN.md §bf16 kernel
     # promotion policy); auto-disabled off-TPU and in training.
     use_pallas_encoder: bool = True
+    # fused encoder-layer kernel for obj_interact in TRAINING
+    # (ops/pallas/encoder_layer_train.py): hand fwd+bwd with in-kernel
+    # counter-hash dropout regenerated in the backward — the (B, R, R)
+    # prob tensors and their masks never reach HBM as autodiff
+    # residuals.  Gradients pinned to a pure-JAX oracle with the exact
+    # same masks (tests/test_pallas_train.py).  Default set by
+    # hardware measurement (docs/DESIGN.md); auto-disabled off-TPU.
+    use_pallas_encoder_train: bool = False
     quantize_banks: bool = False        # int8 attention banks at decode time
     # PRNG implementation for the TRAINING dropout stream ("rbg" |
     # "threefry").  Default rbg: XLA's hardware RngBitGenerator draws

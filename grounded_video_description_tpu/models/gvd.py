@@ -239,6 +239,9 @@ class GVDModel:
         pool_feats = dropout(r[5], pool_feats, drop, train=train)
 
         if "obj_interact" in p:
+            fused_train = (train and cfg.use_pallas_encoder_train
+                           and jax.default_backend() == "tpu")
+
             def _obj_interact(pf):
                 if (not train and cfg.use_pallas_encoder
                         and jax.default_backend() == "tpu"):
@@ -248,13 +251,23 @@ class GVDModel:
                         .encoder_layer import encoder_apply_fused
                     return encoder_apply_fused(
                         p["obj_interact"], pf, n_heads=6)[-1]
+                if fused_train:
+                    # hand fwd+bwd kernel with in-kernel dropout: the
+                    # only autodiff residual is the layer input, so no
+                    # remat wrap is needed either
+                    from grounded_video_description_tpu.ops.pallas \
+                        .encoder_layer_train import (
+                            encoder_apply_fused_train)
+                    return encoder_apply_fused_train(
+                        p["obj_interact"], pf, n_heads=6,
+                        drop=cfg.enc_drop, rng=r[6])[-1]
                 return xf.encoder_apply(
                     p["obj_interact"], pf, n_heads=6,
                     drop=cfg.enc_drop, train=train, rng=r[6],
                     use_pallas=(cfg.use_pallas_mha
                                 and jax.default_backend() == "tpu"))[-1]
 
-            if train and cfg.remat:
+            if train and cfg.remat and not fused_train:
                 # the (B, R, R) attention intermediates dominate
                 # training memory; recompute them in the backward pass
                 _obj_interact = jax.checkpoint(_obj_interact)

@@ -73,6 +73,13 @@ def main():
             lambda p, x, rng: jax.checkpoint(
                 functools.partial(loss, drop=0.2))(p, x, rng))),
             (params, x, key_tf)),
+        # round-3 follow-up: remat re-measured under rbg — the old
+        # "no change" verdict was taken when threefry RNG hid the
+        # (B, R, R) prob-tensor save/restore traffic
+        "rbg_remat": (jax.jit(jax.grad(
+            lambda p, x, rng: jax.checkpoint(
+                functools.partial(loss, drop=0.2))(p, x, rng))),
+            (params, x, key_rbg)),
     }
     results = {}
     for name, (fn, args) in variants.items():
