@@ -80,7 +80,10 @@ def uniform_hash(shape, seed, salt):
     salt = jnp.asarray(salt, jnp.uint32)      # numpy scalars would warn
     mix = _fmix32(seed.astype(jnp.uint32) + _fmix32(salt))
     h = _fmix32(ctr ^ mix)
-    return (h >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    # h >> 8 fits in 24 bits, so the int32 bitcast is value-preserving;
+    # Mosaic has no uint32->f32 convert but lowers int32->f32 fine
+    h24 = jax.lax.bitcast_convert_type(h >> 8, jnp.int32)
+    return h24.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
 def _dropped(x, u, rate):
