@@ -142,6 +142,16 @@ class GVDConfig:
     # same masks (tests/test_pallas_train.py).  Default set by
     # hardware measurement (docs/DESIGN.md); auto-disabled off-TPU.
     use_pallas_encoder_train: bool = False
+    # attention schedule for obj_interact in TRAINING
+    # (ops/pallas/attention_train.py): "xla" (batched einsums + rbg
+    # dropout), "pallas" (fused fwd+bwd per-(row, head) attention
+    # primitive with in-kernel hash dropout — probs/masks never reach
+    # HBM in either pass), or "hybrid" (XLA fwd, Pallas bwd).  This is
+    # the structural redesign of the whole-layer train kernel whose
+    # backward VMEM-OOMed (docs/DESIGN.md §Training fused
+    # encoder-layer kernel); default set by hardware measurement.
+    # Auto-falls-back to "xla" off-TPU.
+    attn_train_impl: str = "xla"
     quantize_banks: bool = False        # int8 attention banks at decode time
     # PRNG implementation for the TRAINING dropout stream ("rbg" |
     # "threefry").  Default rbg: XLA's hardware RngBitGenerator draws

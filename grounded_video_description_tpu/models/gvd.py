@@ -261,11 +261,14 @@ class GVDModel:
                     return encoder_apply_fused_train(
                         p["obj_interact"], pf, n_heads=6,
                         drop=cfg.enc_drop, rng=r[6])[-1]
+                attn_impl = (cfg.attn_train_impl
+                             if jax.default_backend() == "tpu" else "xla")
                 return xf.encoder_apply(
                     p["obj_interact"], pf, n_heads=6,
                     drop=cfg.enc_drop, train=train, rng=r[6],
                     use_pallas=(cfg.use_pallas_mha
-                                and jax.default_backend() == "tpu"))[-1]
+                                and jax.default_backend() == "tpu"),
+                    attn_train_impl=attn_impl)[-1]
 
             if train and cfg.remat and not fused_train:
                 # the (B, R, R) attention intermediates dominate

@@ -134,18 +134,44 @@ def _merge_heads(x: jnp.ndarray, d_model: int) -> jnp.ndarray:
 
 def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
          drop: float, train: bool, rng,
-         use_pallas: bool = False) -> jnp.ndarray:
-    """Multi-head attention; identical math via three schedules:
+         use_pallas: bool = False, attn_train_impl: str = "xla",
+         pallas_interpret: bool = False) -> jnp.ndarray:
+    """Multi-head attention; identical math via four schedules:
 
     * packed (all heads in one batched einsum) for short sequences;
     * head-sequential for long KV (the 1000-region obj_interact bank)
       — materializing the full (B, h, T, T) score tensor there is
       HBM-bound and measured ~12% slower end-to-end on v5e;
     * fused Pallas flash kernel (ops/pallas/mha.py) for long KV at
-      inference when `use_pallas` — scores never leave VMEM.
+      inference when `use_pallas` — scores never leave VMEM;
+    * fused fwd+bwd attention primitive with in-kernel prob dropout
+      (ops/pallas/attention_train.py) for long KV in TRAINING when
+      `use_pallas_train` — probs are regenerated in VMEM in both
+      passes, so neither they nor their dropout mask ever reach HBM.
     """
     d_model = query.shape[-1]
     scale = math.sqrt(d_model)       # shared scale (transformer.py:94)
+
+    if (attn_train_impl != "xla" and train and not causal
+            and key_.shape[1] > 256):
+        from grounded_video_description_tpu.ops.pallas import attention_train
+        prim = {"pallas": attention_train.mha_probs_dropout,
+                "hybrid": attention_train.mha_probs_dropout_hybrid
+                }[attn_train_impl]
+        q = _split_heads(linear(p["wq"], query), n_heads)
+        k = _split_heads(linear(p["wk"], key_), n_heads)
+        v = _split_heads(linear(p["wv"], value), n_heads)
+        if rng is not None and drop > 0.0:
+            bits = jax.random.bits(rng, (), jnp.uint32)
+            seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+            rate = float(drop)
+        else:
+            seed = jnp.int32(0)
+            rate = 0.0
+        o = prim(
+            jnp.moveaxis(q, 2, 1), jnp.moveaxis(k, 2, 1),
+            jnp.moveaxis(v, 2, 1), seed, scale, rate, pallas_interpret)
+        return linear(p["wo"], _merge_heads(jnp.moveaxis(o, 1, 2), d_model))
 
     if (use_pallas and not train and not causal
             and key_.shape[1] > 256):
@@ -207,7 +233,8 @@ def _ff(p, x):
 def encoder_apply(p, x: jnp.ndarray, *, n_heads: int, drop: float,
                   train: bool = False, rng=None,
                   mask: Optional[jnp.ndarray] = None,
-                  use_pallas: bool = False) -> List[jnp.ndarray]:
+                  use_pallas: bool = False, attn_train_impl: str = "xla",
+                  pallas_interpret: bool = False) -> List[jnp.ndarray]:
     """Returns the list of per-layer encodings (transformer.py:177-190)."""
     if mask is not None:
         x = x * mask
@@ -216,7 +243,9 @@ def encoder_apply(p, x: jnp.ndarray, *, n_heads: int, drop: float,
         r1, r2, r3, rng = (jax.random.split(rng, 4) if rng is not None
                            else (None, None, None, None))
         a = _mha(lp["selfattn"], x, x, x, n_heads=n_heads, causal=False,
-                 drop=drop, train=train, rng=r1, use_pallas=use_pallas)
+                 drop=drop, train=train, rng=r1, use_pallas=use_pallas,
+                 attn_train_impl=attn_train_impl,
+                 pallas_interpret=pallas_interpret)
         x = _residual(lp["ln1"], x, a, drop=drop, train=train, rng=r2)
         f = _ff(lp["ff"], x)
         x = _residual(lp["ln2"], x, f, drop=drop, train=train, rng=r3)
