@@ -29,6 +29,12 @@ class GVDConfig:
     glove_file: str = ""  # path to glove.6B.300d.txt (optional; deterministic fallback if "")
     data_path: str = "data"
     num_workers: int = 0
+    # pack-once ingest cache: when set, each split's fully-packed batch
+    # arrays are written here once and memmapped thereafter — segments
+    # become pure page-cache memcpy instead of npy parse + pack
+    # (docs/DESIGN.md §Ingest; eval feeds need ~an order of magnitude
+    # more assembly throughput than train feeds)
+    packed_cache_dir: str = ""
 
     # ---- model dims (opts.py:38-64) ----
     rnn_size: int = 1024
@@ -142,6 +148,16 @@ class GVDConfig:
     # same masks (tests/test_pallas_train.py).  Default set by
     # hardware measurement (docs/DESIGN.md); auto-disabled off-TPU.
     use_pallas_encoder_train: bool = False
+    # fused greedy-decode megakernel (ops/pallas/decode_scan.py): the
+    # whole 20-step decode (both LSTM cells, temporal + region
+    # attention, logit + UNK-suppressed argmax, next-token embedding)
+    # as ONE pallas_call, attention banks resident in VMEM across
+    # steps — the XLA scan re-reads ~450 MB of banks from HBM per
+    # step (its ~11 ms floor at eval flagship dims).  Applies to the
+    # topdown family, att_input_mode 'both', additive region attention,
+    # sample_max greedy; auto-falls-back to the scan elsewhere.
+    # Default set by hardware measurement (docs/DESIGN.md).
+    use_pallas_decode: bool = False
     # attention schedule for obj_interact in TRAINING
     # (ops/pallas/attention_train.py): "xla" (batched einsums + rbg
     # dropout), "pallas" (fused fwd+bwd per-(row, head) attention

@@ -107,18 +107,39 @@ class Trainer:
 
     def shard_state(self, state: "TrainState") -> "TrainState":
         """Places params per the TP rules and replicates the rest over
-        the mesh; opt-state moments are left for jit to lay out (they
-        adopt the params' shardings at first use)."""
+        the mesh.  Opt-state subtrees that mirror the params tree (the
+        Adam mu/nu moments) follow the params' shardings; scalar leaves
+        (step counts) replicate.  Freshly-initialized opt states are
+        uncommitted and jit would lay them out anyway, but a RESTORED
+        opt state is committed to one device — without explicit
+        placement the sharded step then fails with incompatible-devices
+        (found by tests/test_checkpoint.py::test_cross_topology_restore)."""
         if self.mesh is None:
             return state
         from grounded_video_description_tpu.parallel.mesh import (
             param_shardings, replicate)
 
-        params = jax.device_put(state.params,
-                                param_shardings(self.mesh, state.params))
+        psh = param_shardings(self.mesh, state.params)
+        params = jax.device_put(state.params, psh)
         model_state = replicate(self.mesh, state.model_state)
+
+        pstruct = jax.tree.structure(state.params)
+
+        def _params_like(sub) -> bool:
+            try:
+                return jax.tree.structure(sub) == pstruct
+            except Exception:
+                return False
+
+        def _place(sub):
+            if _params_like(sub):
+                return jax.device_put(sub, psh)
+            return replicate(self.mesh, sub)
+
+        opt_state = jax.tree.map(_place, state.opt_state,
+                                 is_leaf=_params_like)
         return TrainState(params=params, model_state=model_state,
-                          opt_state=state.opt_state, step=state.step)
+                          opt_state=opt_state, step=state.step)
 
     # ------------------------------------------------------------------ #
 

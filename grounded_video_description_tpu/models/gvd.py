@@ -241,6 +241,8 @@ class GVDModel:
         if "obj_interact" in p:
             fused_train = (train and cfg.use_pallas_encoder_train
                            and jax.default_backend() == "tpu")
+            attn_impl = (cfg.attn_train_impl
+                         if jax.default_backend() == "tpu" else "xla")
 
             def _obj_interact(pf):
                 if (not train and cfg.use_pallas_encoder
@@ -261,8 +263,6 @@ class GVDModel:
                     return encoder_apply_fused_train(
                         p["obj_interact"], pf, n_heads=6,
                         drop=cfg.enc_drop, rng=r[6])[-1]
-                attn_impl = (cfg.attn_train_impl
-                             if jax.default_backend() == "tpu" else "xla")
                 return xf.encoder_apply(
                     p["obj_interact"], pf, n_heads=6,
                     drop=cfg.enc_drop, train=train, rng=r[6],
@@ -270,9 +270,14 @@ class GVDModel:
                                 and jax.default_backend() == "tpu"),
                     attn_train_impl=attn_impl)[-1]
 
-            if train and cfg.remat and not fused_train:
+            if train and cfg.remat and not fused_train \
+                    and attn_impl == "xla":
                 # the (B, R, R) attention intermediates dominate
-                # training memory; recompute them in the backward pass
+                # training memory; recompute them in the backward pass.
+                # skipped when the attention-train primitive is active:
+                # it already regenerates probs in VMEM (its only
+                # residuals are q/k/v), so rematting would rerun the
+                # Pallas forward for nothing
                 _obj_interact = jax.checkpoint(_obj_interact)
             pool_feats = _obj_interact(pool_feats)
 
@@ -781,6 +786,21 @@ class GVDModel:
             zeros_lp = jnp.zeros((B, Lq), jnp.float32)
             dummy_att2 = jnp.zeros((B, Lq, cfg.max_proposal), jnp.float32)
             return seq, zeros_lp, dummy_att2, enc["sim_mat_static"]
+
+        if (cfg.use_pallas_decode and sample_max and beta == 1.0
+                and cfg.att_input_mode == "both"
+                and cfg.region_attn_mode in ("add", "mix")
+                and not cfg.quantize_banks
+                and pnt_mask.shape[0] % 4 == 0
+                and jax.default_backend() == "tpu"):
+            # fused megakernel: banks stay in VMEM across all decode
+            # steps (ops/pallas/decode_scan.py)
+            from grounded_video_description_tpu.ops.pallas.decode_scan \
+                import greedy_decode_fused
+            seq, seq_lp, att2_weights = greedy_decode_fused(
+                p, enc, pnt_mask, seq_length=Lq,
+                vocab_size=cfg.vocab_size, unk_idx=self.unk_idx)
+            return seq, seq_lp, att2_weights, enc["sim_mat_static"]
 
         sample_rngs = (jnp.stack(_split(rng, Lq))
                        if (rng is not None and not sample_max) else None)

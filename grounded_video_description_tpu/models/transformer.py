@@ -145,15 +145,17 @@ def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
     * fused Pallas flash kernel (ops/pallas/mha.py) for long KV at
       inference when `use_pallas` — scores never leave VMEM;
     * fused fwd+bwd attention primitive with in-kernel prob dropout
-      (ops/pallas/attention_train.py) for long KV in TRAINING when
-      `use_pallas_train` — probs are regenerated in VMEM in both
-      passes, so neither they nor their dropout mask ever reach HBM.
+      (ops/pallas/attention_train.py) for long-KV SELF-attention in
+      TRAINING when `attn_train_impl` is "pallas"/"hybrid" — probs are
+      regenerated in VMEM in both passes, so neither they nor their
+      dropout mask ever reach HBM.
     """
     d_model = query.shape[-1]
     scale = math.sqrt(d_model)       # shared scale (transformer.py:94)
 
     if (attn_train_impl != "xla" and train and not causal
-            and key_.shape[1] > 256):
+            and key_.shape[1] > 256
+            and query.shape[1] == key_.shape[1]):
         from grounded_video_description_tpu.ops.pallas import attention_train
         prim = {"pallas": attention_train.mha_probs_dropout,
                 "hybrid": attention_train.mha_probs_dropout_hybrid

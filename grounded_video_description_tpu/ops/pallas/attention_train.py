@@ -71,8 +71,12 @@ def _tile_probs(q, k, *, R, inv_scale, xd):
 
 
 def _salt(b, h, n_heads):
+    # stride >= n_heads so (batch row, head) salts never collide; the
+    # floor of 8 keeps masks bitwise-identical to the round-3 kernels
+    # (which hard-coded stride 8) for every model in-tree (<= 8 heads)
     gb = b.astype(jnp.uint32)
-    return _SITE_ATTN + gb * np.uint32(8) + h.astype(jnp.uint32)
+    stride = np.uint32(max(int(n_heads), 8))
+    return _SITE_ATTN + gb * stride + h.astype(jnp.uint32)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
@@ -210,8 +214,9 @@ def _fwd_jnp(q, k, v, seed, scale, drop):
         # mask parity with the kernels: generated at the PADDED tile
         # shape (counter = row * Rp + col), then sliced
         Rp = -(-R // 128) * 128
+        stride = np.uint32(max(H, 8))   # keep in lockstep with _salt
         salts = (_SITE_ATTN
-                 + jnp.arange(B, dtype=jnp.uint32)[:, None] * np.uint32(8)
+                 + jnp.arange(B, dtype=jnp.uint32)[:, None] * stride
                  + jnp.arange(H, dtype=jnp.uint32)[None, :])
         u = jax.vmap(jax.vmap(
             lambda slt: uniform_hash((Rp, Rp), seed, slt)))(salts)
@@ -223,6 +228,10 @@ def _fwd_jnp(q, k, v, seed, scale, drop):
 def _make_primitive(fwd_impl):
     @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
     def prim(q, k, v, seed, scale, drop, interpret=False):
+        # self-attention only: _fwd_call/_bwd_call derive one Rp from
+        # q.shape and apply it to k/v padding and column masking, so a
+        # cross-attention call (q_len != kv_len) would mask wrongly
+        assert q.shape == k.shape == v.shape, (q.shape, k.shape, v.shape)
         if fwd_impl == "pallas":
             return _fwd_call(q, k, v, seed, scale, drop, interpret)
         return _fwd_jnp(q, k, v, seed, scale, drop)

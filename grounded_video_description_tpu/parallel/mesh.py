@@ -66,6 +66,13 @@ _TP_RULES = {
     "vis_embed": {"w": P("model", None)},
 }
 
+# rules whose non-divisible fallback is INTENTIONAL replication, not a
+# misconfiguration: vis_embed is (detect_size+1, vis_enc) — tiny
+# (~1.7 MB at flagship dims, where 432 divides every practical model
+# axis) and has no pad knob, so small/toy configs replicate silently.
+# the logit stays loud: cfg.vocab_pad_to exists precisely to fix it.
+_TP_OPTIONAL = {"vis_embed"}
+
 
 def param_shardings(mesh: Mesh, params, *, strict: bool = False) -> Dict:
     """NamedSharding tree: TP rules for the big banks, replicated
@@ -92,9 +99,11 @@ def param_shardings(mesh: Mesh, params, *, strict: bool = False) -> Dict:
                              zip(leaf.shape, dims) if d > 1)
                     if ok:
                         return NamedSharding(mesh, spec)
-                    skipped.append(
-                        f"{name}.{leaf_key} {leaf.shape} not divisible "
-                        f"by {dict(mesh.shape)} -> replicated")
+                    if name not in _TP_OPTIONAL:
+                        skipped.append(
+                            f"{name}.{leaf_key} {leaf.shape} not "
+                            f"divisible by {dict(mesh.shape)} "
+                            f"-> replicated")
         return NamedSharding(mesh, P())
 
     out = jax.tree_util.tree_map_with_path(assign, params)

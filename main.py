@@ -150,6 +150,13 @@ def main(argv=None):
     cfg, model, variables, dataset, dataset_val, vocab = \
         build_model_and_vocab(cfg)
 
+    if cfg.packed_cache_dir:
+        from grounded_video_description_tpu.data.packed_cache import (
+            open_or_build)
+        dataset = open_or_build(
+            dataset, os.path.join(cfg.packed_cache_dir, cfg.train_split))
+        dataset_val = open_or_build(
+            dataset_val, os.path.join(cfg.packed_cache_dir, cfg.val_split))
     loader = Loader(dataset, cfg.batch_size, shuffle=True, seed=cfg.seed)
     loader_val = Loader(dataset_val, cfg.batch_size, shuffle=False,
                         drop_last=False, pad_last=True)

@@ -99,6 +99,88 @@ def test_async_checkpoint_roundtrip(tmp_path):
                for x, y in zip(a, b))
 
 
+def test_cross_topology_restore(tmp_path):
+    """Save under a DP4xTP2 mesh (padded 'model'-sharded logit),
+    restore (a) single-device and (b) DP8xTP1 — the preemption /
+    rescale workflow on real TPU (main.py:620-652 resume semantics
+    under the SPMD topology).  Asserts parameter + opt-state equality
+    and that one further train step runs under each target topology."""
+    import jax.numpy as jnp
+    import pytest
+
+    from grounded_video_description_tpu.data import synthetic_batch
+    from grounded_video_description_tpu.parallel import (
+        make_mesh, make_sharded_train_step, shard_batch)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+
+    cfg = tiny_test_config(vocab_size=64, batch_size=8, vocab_pad_to=2,
+                           learning_rate_decay_start=-1)
+    batch_np = {k: jnp.asarray(v) for k, v in
+                synthetic_batch(cfg, 8, seed=3).items() if k != "seg_id"}
+    rng = jax.random.PRNGKey(0)
+
+    # ---- save under DP4 x TP2, after one sharded step (so the
+    # opt-state moments are laid out and non-trivial) ----
+    mesh_a = make_mesh((4, 2), ("data", "model"))
+    tr_a = Trainer(cfg, mesh=mesh_a)
+    st = tr_a.shard_state(tr_a.init_state())
+    step_a = make_sharded_train_step(tr_a, mesh_a, donate=False)
+    p, ms, os_, _ = step_a(st.params, st.model_state, st.opt_state,
+                           shard_batch(mesh_a, batch_np), rng,
+                           cfg.learning_rate)
+    from grounded_video_description_tpu.engine.trainer import TrainState
+    saved = TrainState(p, ms, os_, 1)
+    # the TP shard actually happened
+    assert tuple(p["logit"]["w"].sharding.spec) == (None, "model")
+    ckpt = CheckpointManager(str(tmp_path / "xt"))
+    ckpt.save(saved, {"epoch": 1, "best_val_score": 0.1}, best=False)
+    ref_params = jax.tree.map(np.asarray, p)
+    ref_opt = jax.tree.map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, os_)
+
+    def assert_tree_equal(a, b):
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # ---- (a) restore single-device ----
+    tr_1 = Trainer(cfg)
+    restored, infos = ckpt.restore(tr_1.init_state(), load_best=False)
+    assert infos["step"] == 1
+    assert_tree_equal(ref_params, restored.params)
+    assert_tree_equal(ref_opt, restored.opt_state)
+    step_1 = tr_1.make_train_step(donate=False)
+    p1, _, _, m1 = step_1(restored.params, restored.model_state,
+                          restored.opt_state, batch_np, rng,
+                          cfg.learning_rate)
+    assert np.isfinite(float(m1["loss"]))
+
+    # ---- (b) restore DP8 x TP1 (logit replicated there) ----
+    mesh_b = make_mesh((8, 1), ("data", "model"))
+    tr_b = Trainer(cfg, mesh=mesh_b)
+    fresh_b = tr_b.shard_state(tr_b.init_state())
+    restored_b, _ = ckpt.restore(fresh_b, load_best=False)
+    restored_b = tr_b.shard_state(restored_b)   # main.py resume flow
+    assert_tree_equal(ref_params, restored_b.params)
+    assert_tree_equal(ref_opt, restored_b.opt_state)
+    step_b = make_sharded_train_step(tr_b, mesh_b, donate=False)
+    pb, _, _, mb = step_b(restored_b.params, restored_b.model_state,
+                          restored_b.opt_state,
+                          shard_batch(mesh_b, batch_np), rng,
+                          cfg.learning_rate)
+    assert np.isfinite(float(mb["loss"]))
+    # both topologies continue from the same checkpoint: identical
+    # data + rng must produce the same next-step parameters
+    d = jax.tree.map(lambda a, b: np.max(np.abs(np.asarray(a, np.float64)
+                                                - np.asarray(b,
+                                                             np.float64))),
+                     p1, pb)
+    assert max(jax.tree.leaves(d)) < 1e-4
+
+
 def test_metric_logger_tensorboard_sink(tmp_path):
     """cfg.tensorboard_dir mirrors float metrics as TB scalars (lazy
     tf import; JSONL-only when tf is unavailable)."""

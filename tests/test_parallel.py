@@ -110,6 +110,25 @@ def test_tp_unshardable_rule_warns():
 
 
 @requires_8
+def test_tp_optional_rule_replicates_silently():
+    """vis_embed (detect_size+1 rows, no pad knob) replicating at
+    non-divisible toy dims is intentional, not a misconfiguration —
+    no warning, no strict error (VERDICT r3 weak-8)."""
+    import warnings
+
+    cfg = tiny_test_config(vocab_size=64)   # divisible logit
+    assert (cfg.detect_size + 1) % 2 == 1   # vis_embed can't shard
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sh = param_shardings(mesh, state.params, strict=True)
+    assert sh["vis_embed"]["w"].spec == P()
+    assert sh["logit"]["w"].spec == P(None, "model")
+
+
+@requires_8
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)

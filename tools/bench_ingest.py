@@ -7,7 +7,12 @@ rows).  Prints one JSON line; pass --keep to reuse an existing dataset
 dir across runs.
 
 Usage: python tools/bench_ingest.py [--segments 240] [--batch 60]
-       [--threads 8] [--root /tmp/gvd_ingest_bench]
+       [--threads 8] [--root /tmp/gvd_ingest_bench] [--packed]
+
+--packed measures the pack-once memmapped cache
+(data/packed_cache.py) instead of the live assembly path: the cache is
+built (or reused) under <root>/packed, then epochs are served from the
+page cache as pure memcpy.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ def main():
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--root", default="/tmp/gvd_ingest_bench")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--packed", action="store_true")
     args = ap.parse_args()
 
     from grounded_video_description_tpu.config import GVDConfig
@@ -57,6 +63,14 @@ def main():
                          if k != "densecap_references"})
 
     ds = AnetDataset(cfg, split="training")
+    path = "live assembly"
+    if args.packed:
+        from grounded_video_description_tpu.data.packed_cache import (
+            open_or_build)
+        t0 = time.perf_counter()
+        ds = open_or_build(ds, os.path.join(args.root, "packed"))
+        print(f"packed cache ready in {time.perf_counter() - t0:.1f}s")
+        path = "pack-once memmap cache"
     loader = Loader(ds, args.batch, shuffle=True, seed=0,
                     num_threads=args.threads)
     # warm epoch populates the page cache so the measured epochs time
@@ -75,7 +89,7 @@ def main():
         "value": round(n / dt, 2),
         "unit": "segments/s",
         "config": (f"{len(ds)} on-disk segments, batch {args.batch}, "
-                   f"{args.threads} threads, one-copy pack, flagship "
+                   f"{args.threads} threads, {path}, flagship "
                    "dims, warm page cache"),
     }
     print(json.dumps(rec))
