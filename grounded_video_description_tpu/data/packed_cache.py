@@ -130,3 +130,31 @@ class PackedDataset:
         item = {k: np.asarray(src[index]) for k, src in self.m.items()}
         item["seg_id"] = self.seg_ids[index]
         return item
+
+    def iter_batches(self, batch_size: int, *, drop_last: bool = False,
+                     pad_last: bool = False):
+        """Sequential ZERO-copy batch iterator: each batch is a
+        contiguous slice of the memmapped arrays — no assembly, no
+        copy; `jax.device_put` (or the XLA transfer) reads straight
+        out of the OS page cache.  This is the eval-feed fast path
+        (eval iterates in dataset order, engine/evaluator.py); shuffled
+        training goes through the Loader's gather path instead.
+
+        Yields dicts with 'seg_id' (list) and 'n_valid', like Loader."""
+        n = len(self)
+        nb = n // batch_size if drop_last else -(-n // batch_size)
+        for b in range(nb):
+            lo = b * batch_size
+            hi = min(lo + batch_size, n)
+            batch = {k: src[lo:hi] for k, src in self.m.items()}
+            ids = self.seg_ids[lo:hi]
+            n_valid = hi - lo
+            if pad_last and n_valid < batch_size:
+                reps = batch_size - n_valid
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], reps, axis=0)]) for k, v in
+                    batch.items()}
+                ids = ids + [ids[-1]] * reps
+            batch["seg_id"] = ids
+            batch["n_valid"] = n_valid
+            yield batch

@@ -55,6 +55,38 @@ def test_loader_one_copy_over_cache(synth, tmp_path):
             np.testing.assert_array_equal(ba[k], bb[k])
 
 
+def test_iter_batches_zero_copy_eval_feed(synth, tmp_path):
+    """Sequential batches must equal the per-item rows, pad correctly,
+    and stay views of the memmap (the zero-copy contract)."""
+    cfg, _ = synth
+    ds = AnetDataset(cfg, split="training")
+    packed = build_cache(ds, str(tmp_path / "cache"))
+    n = len(packed)
+    bs = n - 1                                       # force a remainder
+    assert n >= 3
+
+    batches = list(packed.iter_batches(bs))
+    assert [b["n_valid"] for b in batches] == [bs, 1]
+    for bi, b in enumerate(batches):
+        for r in range(b["n_valid"]):
+            item = packed[bi * bs + r]
+            assert b["seg_id"][r] == item["seg_id"]
+            for k in ARRAY_KEYS:
+                np.testing.assert_array_equal(b[k][r], item[k])
+        # unpadded batches are views into the mmap, not copies
+        for k in ARRAY_KEYS:
+            assert b[k].base is not None
+
+    last = list(packed.iter_batches(bs, pad_last=True))[-1]
+    assert last["n_valid"] == 1 and last["seg_feat"].shape[0] == bs
+    for k in ARRAY_KEYS:                             # pad = repeat last
+        np.testing.assert_array_equal(last[k][1], last[k][0])
+    assert last["seg_id"] == [packed.seg_ids[n - 1]] * bs
+
+    assert [b["n_valid"] for b in packed.iter_batches(bs, drop_last=True)
+            ] == [bs]
+
+
 def test_open_or_build_reuses_and_rebuilds(synth, tmp_path):
     cfg, _ = synth
     ds = AnetDataset(cfg, split="validation")

@@ -2,8 +2,11 @@
 bar as the int8 banks, QUANTIZE_REPORT.json: >0.99 token agreement).
 
 Usage: python tools/encoder_agreement.py [n_seeds] [flag_name]
+                                          [--params ckpt.npz]
 (flag defaults to use_pallas_encoder; use_pallas_rnn also accepted —
-the flag's off-state must be the XLA path).
+the flag's off-state must be the XLA path).  --params loads a trained
+flat-npz checkpoint (tools/overfit_checkpoint.py) instead of init
+weights — the round-4 re-validation of the bf16 promotion policy.
 
 Greedy-decodes the same batches at flagship dims through the XLA
 encoder path and the fused Pallas encoder-layer kernel and reports
@@ -34,8 +37,14 @@ def main():
     from grounded_video_description_tpu.models import GVDModel
 
     B = 100
-    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    flag = sys.argv[2] if len(sys.argv) > 2 else "use_pallas_encoder"
+    argv = list(sys.argv[1:])
+    ckpt = None
+    if "--params" in argv:
+        i = argv.index("--params")
+        ckpt = argv[i + 1]
+        del argv[i:i + 2]
+    n_seeds = int(argv[0]) if len(argv) > 0 else 3
+    flag = argv[1] if len(argv) > 1 else "use_pallas_encoder"
     base = dict(vocab_size=4905, detect_size=431, seq_per_img=1,
                 drop_prob_lm=0.5, obj_interact=True, dtype="bfloat16",
                 learning_rate_decay_start=-1)
@@ -44,8 +53,13 @@ def main():
         cfg = GVDConfig(**base, **{flag: on}).validate()
         model = GVDModel(cfg)
         variables = jax.jit(model.init)(jax.random.PRNGKey(0))
+        if ckpt:
+            from grounded_video_description_tpu.utils.params_io import (
+                load_variables)
+            variables = jax.device_put(load_variables(ckpt, variables))
         fns[name] = (jax.jit(model.sample_greedy), variables)
-        print(json.dumps({"compiled": name}), flush=True)
+        print(json.dumps({"compiled": name, "weights":
+                          ckpt or "init"}), flush=True)
 
     cfg0 = GVDConfig(**base).validate()
     agree, exact, attn = [], [], []

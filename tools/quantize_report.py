@@ -13,6 +13,8 @@ reports per-batch and aggregate:
 Writes QUANTIZE_REPORT.json at the repo root and prints it.
 
 Usage: python tools/quantize_report.py [--batches 5] [--beam 1]
+       [--params ckpt.npz]   (trained flat-npz weights,
+                              tools/overfit_checkpoint.py; default init)
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--params", default=None)
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,10 @@ def main():
     model_bf = GVDModel(cfg)
     model_q = GVDModel(cfg.replace(quantize_banks=True))
     variables = jax.jit(model_bf.init)(jax.random.PRNGKey(0))
+    if args.params:
+        from grounded_video_description_tpu.utils.params_io import (
+            load_variables)
+        variables = jax.device_put(load_variables(args.params, variables))
 
     fn_bf = jax.jit(model_bf.sample_greedy)
     fn_q = jax.jit(model_q.sample_greedy)
@@ -89,6 +96,7 @@ def main():
     # first batch includes compile; time the steady state only
     rec = {
         "metric": "quantize_banks_quality_flagship",
+        "weights": args.params or "init",
         "batches": args.batches,
         "batch_size": args.batch_size,
         "token_agreement_mean": round(float(np.mean(tok_agree)), 4),
