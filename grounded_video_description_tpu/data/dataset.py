@@ -321,6 +321,16 @@ class Loader:
         return out
 
     def __iter__(self) -> Iterator[Dict]:
+        if not self.shuffle and hasattr(self.dataset, "iter_batches"):
+            # zero-copy eval feed: sequential order over a packed
+            # cache means each batch is a contiguous memmap SLICE —
+            # no worker threads, no host copy; the bytes move inside
+            # the host->device transfer (docs/DESIGN.md §Ingest).
+            self.epoch += 1
+            yield from self.dataset.iter_batches(
+                self.batch_size, drop_last=self.drop_last,
+                pad_last=self.pad_last)
+            return
         sels = self._selections()
         # item-level parallel fetch (numpy .npy reads release the GIL)
         # with a bounded pipeline of batches in flight, so the host

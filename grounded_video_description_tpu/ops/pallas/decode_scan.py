@@ -129,7 +129,7 @@ def _kernel(alphab_ref, fc_ref, conv_ref, pconv_ref, pool_ref,
         toks_ref[...] = jnp.zeros_like(toks_ref)
         lps_ref[...] = jnp.zeros_like(lps_ref)
 
-    fc = fc_ref[...]                                    # (bt, H)
+    fc = fc_ref[0]                                      # (bt, H)
     xt = xt_scr[...].astype(xd)                         # (bt, E)
 
     # ---- attention LSTM (AttModel.py:134-139) ----
@@ -149,8 +149,8 @@ def _kernel(alphab_ref, fc_ref, conv_ref, pconv_ref, pool_ref,
     rs = _additive_scores(ppool_ref[...], h_att, rhw_ref[...],
                           rhb_ref[0], raw_ref[0], alphab_ref[1], xd)
     # replace-style masking, matching ops/attention.py:104-105 exactly
-    rs = jnp.where(mneg_ref[...] > 0, MIN_VALUE, rs)
-    att2_ref[:, 0, :] = rs                # grounding logits (pre-softmax)
+    rs = jnp.where(mneg_ref[0] > 0, MIN_VALUE, rs)
+    att2_ref[0, 0] = rs                   # grounding logits (pre-softmax)
     rw = jax.nn.softmax(rs, axis=1)
     att2 = _weighted_sum(rw, pool_ref[...], xd)         # (bt, H) f32
 
@@ -180,8 +180,8 @@ def _kernel(alphab_ref, fc_ref, conv_ref, pconv_ref, pool_ref,
     tok = jnp.where(use_first, i1, i2)
     lpv = jnp.where(use_first, v1, v2)
 
-    toks_ref[pl.ds(t, 1), :] = tok[None, :]
-    lps_ref[pl.ds(t, 1), :] = lpv[None, :].astype(lps_ref.dtype)
+    toks_ref[0, pl.ds(t, 1), :] = tok[None, :]
+    lps_ref[0, pl.ds(t, 1), :] = lpv[None, :].astype(lps_ref.dtype)
 
     # ---- embed the chosen token for the next step ----
     eid = jax.lax.broadcasted_iota(jnp.int32, (tok.shape[0],
@@ -253,9 +253,16 @@ def greedy_decode_fused(params, enc, pnt_mask, *, seq_length: int,
 
     alphab = jnp.stack([ab(attn["alpha_net"]), ab(attn2["alpha_net"])])
 
+    # Mosaic's block rule: the LAST TWO block dims must be divisible
+    # by (8, 128) or equal the array dims.  bt (4) can't sit in a
+    # sublane/lane slot, so per-row 2D arrays are reshaped to
+    # (nb, bt, ...) and blocked (1, bt, ...) — every trailing dim then
+    # equals its array dim.  3D banks (bt, T/Rp, H/A) are already legal.
+    nb = B // bt
     operands = [
         alphab,
-        fc, conv, p_conv, pool_p, ppool_p, mneg,
+        fc.reshape(nb, bt, H), conv, p_conv, pool_p, ppool_p,
+        mneg.reshape(nb, bt, Rp),
         core["att_lstm"]["wi"].astype(xd),
         core["att_lstm"]["wh"].astype(xd),
         core["att_lstm"]["b"].astype(jnp.float32)[None, :],
@@ -279,24 +286,25 @@ def greedy_decode_fused(params, enc, pnt_mask, *, seq_length: int,
         memory_space=res)
     whole = pl.BlockSpec(memory_space=res)
 
-    nb = B // bt
     grid = (nb, L)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        bank(bt, H), bank(bt, T, H), bank(bt, T, A),
-        bank(bt, Rp, H), bank(bt, Rp, A), bank(bt, Rp),
+        bank(1, bt, H), bank(bt, T, H), bank(bt, T, A),
+        bank(bt, Rp, H), bank(bt, Rp, A), bank(1, bt, Rp),
     ] + [whole] * 15
 
     out_specs = [
-        pl.BlockSpec((Lp, bt), lambda b, t: (0, b), memory_space=res),
-        pl.BlockSpec((Lp, bt), lambda b, t: (0, b), memory_space=res),
-        pl.BlockSpec((bt, 1, Rp), lambda b, t: (b, t, 0),
+        pl.BlockSpec((1, Lp, bt), lambda b, t: (b, 0, 0),
+                     memory_space=res),
+        pl.BlockSpec((1, Lp, bt), lambda b, t: (b, 0, 0),
+                     memory_space=res),
+        pl.BlockSpec((1, 1, bt, Rp), lambda b, t: (t, b, 0, 0),
                      memory_space=res),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((Lp, B), jnp.int32),
-        jax.ShapeDtypeStruct((Lp, B), jnp.float32),
-        jax.ShapeDtypeStruct((B, L, Rp), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Lp, bt), jnp.int32),
+        jax.ShapeDtypeStruct((nb, Lp, bt), jnp.float32),
+        jax.ShapeDtypeStruct((L, nb, bt, Rp), jnp.float32),
     ]
     scratch = [
         pltpu.VMEM((bt, H), jnp.float32),   # h_att
@@ -331,6 +339,10 @@ def greedy_decode_fused(params, enc, pnt_mask, *, seq_length: int,
         interpret=interpret,
     )(*operands)
 
-    seq = toks[:L].T                         # (B, L)
-    seq_lp = lps[:L].T.astype(jnp.float32)
+    # (nb, Lp, bt) -> (B, L): tile-major rows back to batch order
+    seq = jnp.moveaxis(toks[:, :L, :], 1, 2).reshape(B, L)
+    seq_lp = jnp.moveaxis(lps[:, :L, :], 1, 2).reshape(B, L)
+    seq_lp = seq_lp.astype(jnp.float32)
+    # (L, nb, bt, Rp) -> (B, L, R)
+    att2 = jnp.moveaxis(att2.reshape(L, B, Rp), 0, 1)
     return seq, seq_lp, att2[:, :, :R]
