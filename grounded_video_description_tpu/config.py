@@ -194,6 +194,17 @@ class GVDConfig:
     # full-batch gradient (see Trainer.make_train_step).
     grad_accum: int = 1
     remat: bool = True          # jax.checkpoint the decode scan + obj_interact in training (memory for FLOPs)
+    # decode-scan TRAIN schedule (round-4 hardware sweep,
+    # docs/DESIGN.md §Decode-scan training bucket): checkpointing the
+    # scan body kills the 20 steps' (sb, R, att_hid) attention
+    # residual stores, and unrolling the rematerialized scan lets XLA
+    # fuse across steps — measured together 15.66 vs 27.61 ms per
+    # microbatch fwd+bwd (-43%); either alone is far weaker (remat
+    # 25.34, unroll8-no-remat 35.42).  Independent of the whole-model
+    # `remat` flag (which also checkpoints encode — a measured LOSS
+    # at microbatch 30).
+    decode_scan_remat: bool = True
+    decode_scan_unroll: int = 8
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
     tensorboard_dir: Optional[str] = None  # optional TB scalar sink

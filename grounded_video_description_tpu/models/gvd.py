@@ -694,12 +694,16 @@ class GVDModel:
         xs = (xt_steps, step_pnt, step_rngs) if step_rngs is not None \
             else (xt_steps, step_pnt)
         body = scan_step
-        if train and cfg.remat:
+        if train and (cfg.remat or cfg.decode_scan_remat):
             # per-step region-attention activations are recomputed in
-            # the backward pass instead of stored for all 20 steps
+            # the backward pass instead of stored for all 20 steps —
+            # measured FASTER as well as smaller (the (sb, R, att_hid)
+            # residual stores cost more HBM traffic than the recompute
+            # FLOPs; docs/DESIGN.md §Decode-scan training bucket)
             body = jax.checkpoint(scan_step)
         _, (outs, att2_ws, att_hs) = jax.lax.scan(
-            body, self.init_state(sb), xs)
+            body, self.init_state(sb), xs,
+            unroll=(cfg.decode_scan_unroll if train else 1))
 
         rnn_output = jnp.moveaxis(outs, 0, 1)                  # (sb, L, rnn)
         att2_weights = jnp.moveaxis(att2_ws, 0, 1)             # (sb, L, R)

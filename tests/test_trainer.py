@@ -245,3 +245,43 @@ def test_rng_impl_rbg_trains_and_is_stochastic():
         assert float(m1["loss"]) != float(m2["loss"])
         losses[impl] = float(m1["loss"])
     assert losses["rbg"] != losses["threefry"]
+
+
+def test_decode_scan_schedule_is_equivalence_preserving():
+    """The round-4 decode-scan schedule (body remat + unroll 8,
+    docs/DESIGN.md §Decode-scan training bucket) is a pure scheduling
+    change: losses and the updated parameters must match the plain
+    scan (no remat, unroll 1) exactly.  Deterministic setup as in
+    test_grad_accum_matches_full_batch."""
+    kw = dict(w_att2=0.05, w_grd=0.05, w_cls=0.1, optim="sgd",
+              att_input_mode="region", learning_rate=1e-2,
+              learning_rate_decay_start=-1, remat=False)
+    batch = None
+    results = {}
+    for fast in (False, True):
+        cfg = tiny_test_config(decode_scan_remat=fast,
+                               decode_scan_unroll=8 if fast else 1,
+                               **kw)
+        trainer = Trainer(cfg)
+        state = trainer.init_state(rng=jax.random.PRNGKey(7))
+        if batch is None:
+            batch = {k: jnp.asarray(v) for k, v in
+                     synthetic_batch(cfg, 4, seed=11).items()
+                     if k != "seg_id"}
+        step = trainer.make_train_step(donate=False)
+        p, ms, os_, m = step(state.params, state.model_state,
+                             state.opt_state, batch,
+                             jax.random.PRNGKey(3), cfg.learning_rate)
+        results[fast] = (p, m)
+    p1, m1 = results[False]
+    p2, m2 = results[True]
+    for k in ("loss", "lm_loss", "att2_loss", "ground_loss", "cls_loss"):
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    flat1 = jax.tree_util.tree_leaves_with_path(p1)
+    flat2 = {jax.tree_util.keystr(pth): leaf
+             for pth, leaf in jax.tree_util.tree_leaves_with_path(p2)}
+    for pth, leaf in flat1:
+        key = jax.tree_util.keystr(pth)
+        np.testing.assert_allclose(np.array(flat2[key]), np.array(leaf),
+                                   rtol=1e-4, atol=1e-6, err_msg=key)

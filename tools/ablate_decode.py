@@ -135,15 +135,21 @@ def build(component: str):
 
         return loss, (core, banks)
 
-    if component in ("scan", "scan_no_region", "scan_no_temporal",
-                     "scan_lstm_only", "scan_unroll2", "scan_unroll4",
-                     "scan_remat"):
+    if component.startswith("scan"):
+        # grammar: scan[_no_region|_no_temporal|_lstm_only]
+        #              [_remat][_unrollN]
+        name = component
+        unroll = 1
+        if "_unroll" in name:
+            name, _, n = name.rpartition("_unroll")
+            unroll = int(n)
+        remat = name.endswith("_remat")
+        if remat:
+            name = name[: -len("_remat")]
         variant = {"scan": "full", "scan_no_region": "no_region",
                    "scan_no_temporal": "no_temporal",
-                   "scan_lstm_only": "lstm_only"}.get(component, "full")
-        unroll = {"scan_unroll2": 2, "scan_unroll4": 4}.get(component, 1)
-        loss, args = make_scan(variant, unroll=unroll,
-                               remat=component == "scan_remat")
+                   "scan_lstm_only": "lstm_only"}[name]
+        loss, args = make_scan(variant, unroll=unroll, remat=remat)
         return loss, args
 
     if component == "logit_lm":
