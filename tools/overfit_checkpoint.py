@@ -36,8 +36,11 @@ sys.path.insert(0, ROOT)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
-    ap.add_argument("--pool", type=int, default=8,
-                    help="distinct synthetic batches cycled")
+    ap.add_argument("--pool", type=int, default=2,
+                    help="distinct synthetic batches cycled (device-"
+                         "resident; at flagship dims each is ~1.7 GB "
+                         "with bf16 features — 8 f32 batches was ~27 GB "
+                         "and OOMed the 16 GB v5e HBM)")
     ap.add_argument("--batch", type=int, default=240)
     ap.add_argument("--accum", type=int, default=8)
     ap.add_argument("--lr", type=float, default=5e-4)
@@ -63,9 +66,20 @@ def main():
     state = trainer.init_state()
     step_fn = trainer.make_train_step(donate=True)
 
-    pool = [{k: jnp.asarray(v)
-             for k, v in synthetic_batch(cfg, args.batch, seed=s).items()
-             if k != "seg_id"} for s in range(args.pool)]
+    # the two big feature tensors go to device as bf16 (the model casts
+    # to cfg.dtype anyway); everything geometric/integer stays f32/int
+    def _to_device(b):
+        out = {}
+        for k, v in b.items():
+            if k == "seg_id":
+                continue
+            if k in ("seg_feat", "ppls_feat"):
+                v = v.astype(jnp.bfloat16)
+            out[k] = jnp.asarray(v)
+        return out
+
+    pool = [_to_device(synthetic_batch(cfg, args.batch, seed=s))
+            for s in range(args.pool)]
 
     params, mstate, opt = state.params, state.model_state, state.opt_state
     rng = trainer.rng

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--params", default=None)
+    ap.add_argument("--out",
+                    default=os.path.join(ROOT, "QUANTIZE_REPORT.json"))
     args = ap.parse_args()
 
     import jax
@@ -108,7 +110,7 @@ def main():
                  "compile) — throughput is bench.py's job"),
     }
     print(json.dumps(rec))
-    with open(os.path.join(ROOT, "QUANTIZE_REPORT.json"), "w") as f:
+    with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
 
 
