@@ -205,6 +205,14 @@ class GVDConfig:
     # at microbatch 30).
     decode_scan_remat: bool = True
     decode_scan_unroll: int = 8
+    # temporal BiRNN (context_enc) scan schedule — same remat/unroll
+    # trade, swept on hardware by tools/ablate_temporal.py: the BiGRU
+    # is ~94% of the temporal train bucket, and body-remat + unroll 8
+    # measured 16.84 vs 18.37 ms/microbatch fwd+bwd (unroll 16/32 add
+    # nothing).  unroll applies to inference too (XLA-scan path);
+    # remat only affects training (which residuals autodiff stores).
+    birnn_remat: bool = True
+    birnn_unroll: int = 8
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
     tensorboard_dir: Optional[str] = None  # optional TB scalar sink

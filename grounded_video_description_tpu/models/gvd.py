@@ -301,7 +301,9 @@ class GVDModel:
                          dropout_rate=cfg.enc_drop,
                          train=train, rng=r[9],
                          use_pallas=(cfg.use_pallas_rnn
-                                     and jax.default_backend() == "tpu"))
+                                     and jax.default_backend() == "tpu"),
+                         unroll=cfg.birnn_unroll,
+                         remat=cfg.birnn_remat and train)
             # zero frames outside the segment window (model.py:303-305, 401)
             t_ids = jnp.arange(cfg.t_attn_size)[None, :]
             inside = ((t_ids >= sample_idx[:, :1])

@@ -177,7 +177,8 @@ def _scan_dir(cell_fn, p, xs, hidden, reverse: bool):
     return jnp.swapaxes(ys, 0, 1)
 
 
-def _scan_bidir(mode: str, lp, xs, hidden, use_pallas: bool = False):
+def _scan_bidir(mode: str, lp, xs, hidden, use_pallas: bool = False,
+                unroll: int = 8, remat: bool = False):
     """Both directions of one layer in a single scan: the backward
     lane consumes time-reversed inputs, so one T-step scan replaces
     two — halving the latency-bound sequential chain.  Per step the
@@ -230,8 +231,14 @@ def _scan_bidir(mode: str, lp, xs, hidden, use_pallas: bool = False):
 
         carry0 = h0
         # unroll amortizes per-iteration loop overhead over the long
-        # (480-step) latency-bound chain
-        _, ys = jax.lax.scan(step, carry0, gi, unroll=8)
+        # (480-step) latency-bound chain; remat checkpoints the scan
+        # BODY (store only the h carry, recompute gate intermediates in
+        # the backward) — the same residual-traffic/recompute trade
+        # measured for the decode scan (docs/DESIGN.md §Decode-scan
+        # training bucket)
+        if remat:
+            step = jax.checkpoint(step)
+        _, ys = jax.lax.scan(step, carry0, gi, unroll=unroll)
     else:
         def step(carry, gi_t):
             h, c = carry
@@ -241,7 +248,9 @@ def _scan_bidir(mode: str, lp, xs, hidden, use_pallas: bool = False):
             h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
             return (h_new, c_new), h_new
 
-        _, ys = jax.lax.scan(step, (h0, h0), gi, unroll=8)
+        if remat:
+            step = jax.checkpoint(step)
+        _, ys = jax.lax.scan(step, (h0, h0), gi, unroll=unroll)
 
     # ys: (T, 2, B, H); un-reverse the backward lane
     fwd_out = ys[:, 0]                                        # (T, B, H)
@@ -252,12 +261,14 @@ def _scan_bidir(mode: str, lp, xs, hidden, use_pallas: bool = False):
 
 def birnn(p: Params, x: jnp.ndarray, *, mode: str, hidden: int,
           dropout_rate: float = 0.0, train: bool = False, rng=None,
-          use_pallas: bool = False) -> jnp.ndarray:
+          use_pallas: bool = False, unroll: int = 8,
+          remat: bool = False) -> jnp.ndarray:
     out = x
     n_layers = len(p["layers"])
     for li, lp in enumerate(p["layers"]):
         out = _scan_bidir(mode, lp, out, hidden,
-                          use_pallas=use_pallas and not train)
+                          use_pallas=use_pallas and not train,
+                          unroll=unroll, remat=remat)
         if train and dropout_rate > 0.0 and li < n_layers - 1 and rng is not None:
             rng, sub = jax.random.split(rng)
             out = dropout(sub, out, dropout_rate, train=True)

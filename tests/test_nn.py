@@ -35,6 +35,32 @@ def test_birnn_two_layer_shapes():
     assert out.shape == (2, 7, 12)
 
 
+def test_birnn_schedule_is_equivalence_preserving():
+    """unroll/remat on the BiRNN scan are pure scheduling knobs: values
+    AND gradients must match the plain schedule exactly (same trade the
+    decode scan landed, docs/DESIGN.md §Decode-scan training bucket)."""
+    key = jax.random.PRNGKey(0)
+    B, T, D, H = 2, 13, 8, 6
+    for mode in ("bigru", "bilstm"):
+        p = birnn_init(key, D, H, 2, mode)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+
+        def loss(p_, x_, unroll, remat):
+            out = birnn(p_, x_, mode=mode, hidden=H,
+                        unroll=unroll, remat=remat)
+            return jnp.sum(out ** 2)
+
+        ref_v, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(
+            p, x, 1, False)
+        for unroll, remat in ((4, False), (1, True), (4, True)):
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(
+                p, x, unroll, remat)
+            assert np.allclose(float(v), float(ref_v), rtol=1e-6), mode
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+                np.testing.assert_allclose(np.array(a), np.array(b),
+                                           rtol=1e-5, atol=1e-6)
+
+
 def test_lstm_cell_gates():
     key = jax.random.PRNGKey(0)
     p = lstm_cell_init(key, 4, 3)
