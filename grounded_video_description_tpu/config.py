@@ -213,6 +213,13 @@ class GVDConfig:
     # remat only affects training (which residuals autodiff stores).
     birnn_remat: bool = True
     birnn_unroll: int = 8
+    # selective remat of ONLY the (B, R, R) obj_interact attention
+    # probs (scores/softmax/dropout-mask tagged "attn_probs" in
+    # models/transformer.py, recomputed in the backward via a
+    # names-based checkpoint policy).  Finer point than the whole-model
+    # `remat` flag: recompute is one QK^T+softmax per head (~1
+    # TFLOP/step) against ~28 GB/step of prob-residual HBM traffic.
+    obj_interact_probs_remat: bool = False
     profile_dir: Optional[str] = None   # jax.profiler trace output
     log_jsonl: Optional[str] = None     # metrics JSONL sink
     tensorboard_dir: Optional[str] = None  # optional TB scalar sink

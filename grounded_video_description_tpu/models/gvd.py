@@ -279,6 +279,18 @@ class GVDModel:
                 # residuals are q/k/v), so rematting would rerun the
                 # Pallas forward for nothing
                 _obj_interact = jax.checkpoint(_obj_interact)
+            elif train and cfg.obj_interact_probs_remat \
+                    and not fused_train and attn_impl == "xla":
+                # finer-grained than the whole-function checkpoint
+                # above: store every residual EXCEPT the (B, R, R)
+                # score/prob/mask tensors (tagged in transformer._mha),
+                # which are regenerated in the backward from the saved
+                # q/k projections — same rng replay, same math
+                # (f64-verified, tests/test_transformer.py)
+                _obj_interact = jax.checkpoint(
+                    _obj_interact,
+                    policy=jax.checkpoint_policies
+                    .save_anything_except_these_names("attn_probs"))
             pool_feats = _obj_interact(pool_feats)
 
         p_pool_feats = linear(p["ctx2pool"], pool_feats)

@@ -28,6 +28,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 import numpy as np
 
 from grounded_video_description_tpu.nn import (
@@ -200,8 +201,10 @@ def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
             T = k.shape[1]
             tri = jnp.triu(jnp.full((T, T), INF, scores.dtype), 1)
             scores = scores - tri[None, None]
-        w = jax.nn.softmax(scores / scale, axis=-1)
-        w = dropout(rng, w, drop, train=train)
+        scores = checkpoint_name(scores, "attn_probs")
+        w = checkpoint_name(
+            jax.nn.softmax(scores / scale, axis=-1), "attn_probs")
+        w = dropout(rng, w, drop, train=train, residual_name="attn_probs")
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v)
         return linear(p["wo"], _merge_heads(out, d_model))
 
@@ -212,13 +215,20 @@ def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
     rngs = (jax.random.split(rng, n_heads) if rng is not None
             else [None] * n_heads)
     for sl, r in zip(_head_slices(d_model, n_heads), rngs):
-        scores = jnp.einsum("bqd,bkd->bqk", q[..., sl], k[..., sl])
+        # (B, T, T) score/prob/mask tensors are tagged so a names-based
+        # checkpoint policy can recompute instead of store them — at
+        # R=1000 they are the dominant training residual (~60 MB each
+        # per head per layer at microbatch 30)
+        scores = checkpoint_name(
+            jnp.einsum("bqd,bkd->bqk", q[..., sl], k[..., sl]),
+            "attn_probs")
         if causal:
             T = k.shape[1]
             tri = jnp.triu(jnp.full((T, T), INF, scores.dtype), 1)
             scores = scores - tri[None]
-        w = jax.nn.softmax(scores / scale, axis=-1)
-        w = dropout(r, w, drop, train=train)
+        w = checkpoint_name(
+            jax.nn.softmax(scores / scale, axis=-1), "attn_probs")
+        w = dropout(r, w, drop, train=train, residual_name="attn_probs")
         outs.append(jnp.einsum("bqk,bkd->bqd", w, v[..., sl]))
     return linear(p["wo"], jnp.concatenate(outs, axis=-1))
 

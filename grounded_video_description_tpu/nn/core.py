@@ -17,6 +17,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Params = Dict
 Initializer = jax.nn.initializers.Initializer
@@ -345,9 +346,21 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray, *,
 # dropout
 # --------------------------------------------------------------------- #
 
-def dropout(rng, x: jnp.ndarray, rate: float, *, train: bool) -> jnp.ndarray:
+def dropout(rng, x: jnp.ndarray, rate: float, *, train: bool,
+            residual_name: str = None) -> jnp.ndarray:
+    """`residual_name` tags the mask and output with
+    checkpoint_name so a names-based checkpoint
+    policy (save_anything_except_these_names) can force them to be
+    recomputed instead of stored — recomputation replays the same rng
+    key through the same primitives, so the same mask and math are
+    reproduced (equal up to XLA fusion rounding; verified in f64 by
+    tests/test_transformer.py)."""
     if not train or rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
+    if residual_name is not None:
+        mask = checkpoint_name(mask, residual_name)
+        out = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+        return checkpoint_name(out, residual_name)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batch", type=int, default=240)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--probs_remat", action="store_true",
+                    help="selective remat of the obj_interact "
+                         "(B, R, R) attention probs only")
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_TRAIN.json"))
     args = ap.parse_args()
 
@@ -50,6 +53,7 @@ def main():
         vocab_size=4905, detect_size=431, seq_per_img=1,
         drop_prob_lm=0.5, obj_interact=True, dtype="bfloat16",
         grad_accum=args.accum, remat=args.remat, batch_size=args.batch,
+        obj_interact_probs_remat=args.probs_remat,
         learning_rate_decay_start=-1,
     ).validate()
 
@@ -109,7 +113,8 @@ def main():
         "value": round(seg_per_sec, 1),
         "unit": "segments/s",
         "config": (f"batch {B}, grad_accum {args.accum} (microbatches of "
-                   f"{B // args.accum}), remat={args.remat}, bfloat16, "
+                   f"{B // args.accum}), remat={args.remat}, "
+                   f"probs_remat={args.probs_remat}, bfloat16, "
                    "obj_interact, 4-loss supervised, full ANet dims "
                    "(rnn 1024, vocab 4905, 1000 ROIs)"),
         "step_seconds": round(step_s, 4),
