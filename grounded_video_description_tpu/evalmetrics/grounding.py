@@ -56,6 +56,15 @@ the Java-metric fidelity tests:
   * grd_eval 'loc' mode skips GT classes the captioner did not
     predict (pure localization quality given correct classes), per
     the paper's attn/grd "loc" metric definition.  [paper-derived]
+  * grd_eval 'all' mode counts predictions in GT-EMPTY segments as
+    false positives: a submission segment with no GT annotations
+    still feeds every predicted occurrence into the per-class
+    precision denominator and contributes a per-sentence precision
+    of 0 (no recall/F1 entry — recall is undefined without GT).
+    Skipping such segments (iterating GT keys only) would inflate
+    'all'-mode precision: hallucinated objects in unannotated
+    segments would be free.  'loc' mode is unaffected — it only
+    scores GT classes.  [self-derived]
 """
 
 from __future__ import annotations
@@ -193,6 +202,21 @@ class GroundingEvaluator:
             sent_prec.append(p)
             sent_rec.append(r)
             sent_f1.append(f)
+
+        if mode == "all":
+            # predictions in GT-empty segments are false positives
+            # (docstring derivation note #5): per-class precision
+            # denominator + a 0 per-sentence precision entry; no
+            # recall/F1 entry (undefined without GT)
+            for vid, segs in self.sub.items():
+                if self.vids and vid not in self.vids:
+                    continue
+                for seg, entry in segs.items():
+                    if (vid, seg) in gt_objs or not entry["clss"]:
+                        continue
+                    for c in entry["clss"]:
+                        cls_pred[c] += 1
+                    sent_prec.append(0.0)
 
         classes = set(cls_gt) | set(cls_pred)
         precs, recs, f1s = [], [], []

@@ -219,13 +219,14 @@ def _mha(p, query, key_, value, *, n_heads: int, causal: bool,
         # checkpoint policy can recompute instead of store them — at
         # R=1000 they are the dominant training residual (~60 MB each
         # per head per layer at microbatch 30)
-        scores = checkpoint_name(
-            jnp.einsum("bqd,bkd->bqk", q[..., sl], k[..., sl]),
-            "attn_probs")
+        scores = jnp.einsum("bqd,bkd->bqk", q[..., sl], k[..., sl])
         if causal:
             T = k.shape[1]
             tri = jnp.triu(jnp.full((T, T), INF, scores.dtype), 1)
             scores = scores - tri[None]
+        # tag AFTER the causal subtraction (matching the packed branch
+        # above): the post-mask tensor is the one autodiff would save
+        scores = checkpoint_name(scores, "attn_probs")
         w = checkpoint_name(
             jax.nn.softmax(scores / scale, axis=-1), "attn_probs")
         w = dropout(r, w, drop, train=train, residual_name="attn_probs")

@@ -13,7 +13,7 @@ comparably without copying any code.
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -347,7 +347,7 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray, *,
 # --------------------------------------------------------------------- #
 
 def dropout(rng, x: jnp.ndarray, rate: float, *, train: bool,
-            residual_name: str = None) -> jnp.ndarray:
+            residual_name: Optional[str] = None) -> jnp.ndarray:
     """`residual_name` tags the mask and output with
     checkpoint_name so a names-based checkpoint
     policy (save_anything_except_these_names) can force them to be

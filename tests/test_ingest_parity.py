@@ -26,6 +26,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from grounded_video_description_tpu.config import tiny_test_config
 from grounded_video_description_tpu.data.dataset import AnetDataset
 from grounded_video_description_tpu.data.synthetic_files import (

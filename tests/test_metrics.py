@@ -133,3 +133,36 @@ def test_gen_grd_eval_modes(grounding_files):
     assert r == pytest.approx(0.5)
     p2, r2, f2, *_ = ev.grd_eval(mode="loc")
     assert p2 == pytest.approx(0.5)
+
+
+def test_gen_grd_eval_gt_empty_segment_counts_false_positives(
+        grounding_files, tmp_path):
+    """Pins derivation note #5 (grounding.py docstring): predictions
+    in a segment with zero GT annotations are false positives in
+    'all' mode (per-class precision denominator + a 0 per-sentence
+    precision entry), and are ignored in 'loc' mode."""
+    ref_f, sub_f, split_f = grounding_files
+    sub = json.loads(open(sub_f).read())
+    # segment "1" exists in the submission but not in the reference:
+    # one hallucinated "man" prediction
+    sub["results"]["v_abc"]["1"] = {
+        "clss": ["man"], "idx_in_sent": [0],
+        "bbox_for_all_frames": [[[0, 0, 1, 1]] * 10]}
+    sub2_f = tmp_path / "sub_gt_empty.json"
+    sub2_f.write_text(json.dumps(sub))
+
+    base = GroundingEvaluator(ref_f, sub_f, split_f, ["validation"])
+    ev = GroundingEvaluator(ref_f, str(sub2_f), split_f, ["validation"])
+
+    # 'all': man precision drops 1/1 -> 1/2, dog stays 0 -> per-class
+    # precision (0.5 + 0)/2 = 0.25; recall untouched (GT unchanged)
+    p, r, f1, ps, rs, fs = ev.grd_eval(mode="all")
+    assert p == pytest.approx(0.25)
+    assert r == pytest.approx(base.grd_eval(mode="all")[1])
+    # per-sentence: original segment (p=0.5) + GT-empty segment (p=0)
+    assert ps == pytest.approx(0.25)
+    # recall/F1 get no entry for the GT-empty segment
+    assert rs == pytest.approx(base.grd_eval(mode="all")[4])
+
+    # 'loc' is unaffected: only GT classes are scored
+    assert ev.grd_eval(mode="loc") == base.grd_eval(mode="loc")

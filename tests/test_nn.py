@@ -1,6 +1,8 @@
 """Mini-NN library unit tests: recurrent cells, bidirectional fusion,
 normalization semantics."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,16 +47,17 @@ def test_birnn_schedule_is_equivalence_preserving():
         p = birnn_init(key, D, H, 2, mode)
         x = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
 
-        def loss(p_, x_, unroll, remat):
-            out = birnn(p_, x_, mode=mode, hidden=H,
-                        unroll=unroll, remat=remat)
-            return jnp.sum(out ** 2)
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def vg(p_, x_, unroll, remat):
+            def loss(p__, x__):
+                out = birnn(p__, x__, mode=mode, hidden=H,
+                            unroll=unroll, remat=remat)
+                return jnp.sum(out ** 2)
+            return jax.value_and_grad(loss, argnums=(0, 1))(p_, x_)
 
-        ref_v, ref_g = jax.value_and_grad(loss, argnums=(0, 1))(
-            p, x, 1, False)
+        ref_v, ref_g = vg(p, x, 1, False)
         for unroll, remat in ((4, False), (1, True), (4, True)):
-            v, g = jax.value_and_grad(loss, argnums=(0, 1))(
-                p, x, unroll, remat)
+            v, g = vg(p, x, unroll, remat)
             assert np.allclose(float(v), float(ref_v), rtol=1e-6), mode
             for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
                 np.testing.assert_allclose(np.array(a), np.array(b),

@@ -32,6 +32,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -197,16 +199,20 @@ def test_greedy_decode_matches_reference(combo):
                                atol=1e-5)
 
 
-def test_beam3_matches_reference():
+@pytest.mark.parametrize("beam_size", [3, 5])
+def test_beam_matches_reference(beam_size):
+    """Both published bench beam widths (BENCH beam3/beam5) pinned
+    against the executing reference (misc/CaptionModelBU.py:24-185)."""
     combo = TOPDOWN_COMBOS[0]
     cfg, ref_model, _, model, variables, tb, jb = setup_pair(*combo)
     ref_seq, ref_lp, ref_att2 = rb.run_ref_sample(ref_model, tb,
-                                                  beam_size=3)
+                                                  beam_size=beam_size)
     seq, lp, att2, _att2f = jax.jit(
-        functools.partial(model.sample_beam, beam_size=3))(variables, jb)
+        functools.partial(model.sample_beam, beam_size=beam_size))(
+        variables, jb)
     np.testing.assert_array_equal(
         np.asarray(seq), ref_seq,
-        err_msg="beam-3 tokens diverge from the reference")
+        err_msg=f"beam-{beam_size} tokens diverge from the reference")
     np.testing.assert_allclose(np.asarray(lp), ref_lp, rtol=1e-4,
                                atol=1e-5)
     # att2 index parity only where a token exists (reference fills -1
