@@ -28,8 +28,14 @@ _WORDS = ("man woman dog cat ball car tree house door window chair table "
 
 def write_synthetic_dataset(root: str, cfg: GVDConfig, *,
                             n_train: int = 4, n_val: int = 4,
-                            seed: int = 0) -> Dict[str, str]:
-    """Returns a dict of config path overrides pointing at the files."""
+                            seed: int = 0,
+                            n_extra_words: int = 0) -> Dict[str, str]:
+    """Returns a dict of config path overrides pointing at the files.
+
+    ``n_extra_words`` appends synthetic non-detection filler words to
+    the vocabulary — used by tools/rehearsal.py to reach the flagship
+    ~4.9k vocab (and hence the flagship logit-matmul dims) without a
+    real corpus; captions sample uniformly over the full vocab."""
     rng = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     feature_root = os.path.join(root, "fc6_feat")
@@ -38,7 +44,9 @@ def write_synthetic_dataset(root: str, cfg: GVDConfig, *,
     os.makedirs(seg_feature_root, exist_ok=True)
 
     det_words = _WORDS[:12]                      # detection classes
-    vocab_words = list(_WORDS) + ["UNK"]
+    vocab_words = (list(_WORDS)
+                   + [f"zzw{i:04d}" for i in range(n_extra_words)]
+                   + ["UNK"])
     itow = {str(i + 1): w for i, w in enumerate(vocab_words)}
     wtoi = {w: i + 1 for i, w in enumerate(vocab_words)}
     wtod = {w: i for i, w in enumerate(det_words)}  # dic convention:

@@ -255,6 +255,19 @@ class Trainer:
             def body(carry, x):
                 gacc, lacc, mstate = carry
                 mb, mb_sup, r = x
+                # identity barrier on the big f32 feature slices:
+                # without it XLA rewrites convert(dynamic_slice(batch))
+                # into dynamic_slice(convert(batch)) and hoists the
+                # convert out of the scan, materializing a WHOLE-BATCH
+                # bf16 copy of segs_feat+ppls_feat as a loop-invariant
+                # temp (~1.6 GB at flagship batch 240 — the residual
+                # OOM binder for microbatch 60, docs/DESIGN.md
+                # §Grad-accum).  Same total convert bytes either way
+                # (each slice is converted exactly once per step).
+                mb = {k: (jax.lax.optimization_barrier(v)
+                          if v.dtype == jnp.float32 and v.ndim >= 3
+                          else v)
+                      for k, v in mb.items()}
                 (loss, (frac, new_state)), g = jax.value_and_grad(
                     mb_loss, has_aux=True)(params, mstate, mb, mb_sup, r)
                 gacc = jax.tree.map(jnp.add, gacc, g)

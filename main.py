@@ -139,6 +139,12 @@ def main(argv=None):
 
     import jax
 
+    # the axon TPU plugin ignores JAX_PLATFORMS (CLAUDE.md); this env
+    # gate lets subprocess drivers (tools/rehearsal.py --smoke) force
+    # the CPU backend the way conftest.py does for tests
+    if os.environ.get("GVD_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["GVD_PLATFORM"])
+
     from grounded_video_description_tpu.data.dataset import Loader
     from grounded_video_description_tpu.engine import Trainer
     from grounded_video_description_tpu.engine.checkpoint import (

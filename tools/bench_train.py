@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--probs_remat", action="store_true",
                     help="selective remat of the obj_interact "
                          "(B, R, R) attention probs only")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate params/opt-state buffers as the real "
+                         "driver does (cfg.donate_buffers) — frees "
+                         "~750 MB of duplicated state at the cost of "
+                         "threading state through the timing loop")
     ap.add_argument("--out", default=os.path.join(ROOT, "BENCH_TRAIN.json"))
     args = ap.parse_args()
 
@@ -59,7 +64,7 @@ def main():
 
     trainer = Trainer(cfg)
     state = trainer.init_state()
-    step_fn = trainer.make_train_step(donate=False)
+    step_fn = trainer.make_train_step(donate=args.donate)
 
     B = args.batch
     batch = {k: jnp.asarray(v)
@@ -95,15 +100,14 @@ def main():
         except Exception:
             pass
 
-    out = compiled(state.params, state.model_state, state.opt_state,
-                   batch, rng, 5e-4)
-    np.asarray(out[3]["loss"])        # host readback sync (CLAUDE.md)
+    p, ms, os_ = state.params, state.model_state, state.opt_state
+    p, ms, os_, out3 = compiled(p, ms, os_, batch, rng, 5e-4)
+    np.asarray(out3["loss"])          # host readback sync (CLAUDE.md)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = compiled(state.params, state.model_state, state.opt_state,
-                       batch, rng, 5e-4)
-    np.asarray(out[3]["loss"])
+        p, ms, os_, out3 = compiled(p, ms, os_, batch, rng, 5e-4)
+    np.asarray(out3["loss"])
     dt = time.perf_counter() - t0
 
     step_s = dt / args.iters
@@ -114,7 +118,8 @@ def main():
         "unit": "segments/s",
         "config": (f"batch {B}, grad_accum {args.accum} (microbatches of "
                    f"{B // args.accum}), remat={args.remat}, "
-                   f"probs_remat={args.probs_remat}, bfloat16, "
+                   f"probs_remat={args.probs_remat}, "
+                   f"donate={args.donate}, bfloat16, "
                    "obj_interact, 4-loss supervised, full ANet dims "
                    "(rnn 1024, vocab 4905, 1000 ROIs)"),
         "step_seconds": round(step_s, 4),
