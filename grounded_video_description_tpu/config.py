@@ -169,6 +169,11 @@ class GVDConfig:
     # Auto-falls-back to "xla" off-TPU.
     attn_train_impl: str = "xla"
     quantize_banks: bool = False        # int8 attention banks at decode time
+    # int8 scale granularity: columns per abs-max scale group (0 = one
+    # scale per row, the round-2 scheme).  128 measured-better at
+    # trained weights (QUANTIZE_REPORT.json) but both miss the 0.99
+    # promotion bar — docs/DESIGN.md §int8 granularity closure.
+    quantize_group_size: int = 128
     # PRNG implementation for the TRAINING dropout stream ("rbg" |
     # "threefry").  Default rbg: XLA's hardware RngBitGenerator draws
     # the large (B, R, R) attention-prob dropout masks ~2.8x faster

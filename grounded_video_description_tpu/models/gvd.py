@@ -790,7 +790,8 @@ class GVDModel:
                 quantize_rows)
             for k in ("pool_feats", "p_pool_feats", "conv_feats",
                       "p_conv_feats"):
-                enc[k] = quantize_rows(enc[k])
+                enc[k] = quantize_rows(
+                    enc[k], group_size=cfg.quantize_group_size or None)
         pnt_mask = enc["pnt_mask"]
         B = pnt_mask.shape[0]
         Lq = cfg.seq_length

@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--params", default=None)
+    ap.add_argument("--group_size", type=int, default=128,
+                    help="int8 scale granularity: columns per scale "
+                         "group (0 = one scale per row, the round-2 "
+                         "scheme) — the control for attributing "
+                         "agreement deltas to granularity vs rounding "
+                         "noise")
     ap.add_argument("--out",
                     default=os.path.join(ROOT, "QUANTIZE_REPORT.json"))
     args = ap.parse_args()
@@ -55,7 +61,8 @@ def main():
         learning_rate_decay_start=-1).validate()
 
     model_bf = GVDModel(cfg)
-    model_q = GVDModel(cfg.replace(quantize_banks=True))
+    model_q = GVDModel(cfg.replace(quantize_banks=True,
+                                   quantize_group_size=args.group_size))
     variables = jax.jit(model_bf.init)(jax.random.PRNGKey(0))
     if args.params:
         from grounded_video_description_tpu.utils.params_io import (
@@ -99,6 +106,7 @@ def main():
     rec = {
         "metric": "quantize_banks_quality_flagship",
         "weights": args.params or "init",
+        "group_size": args.group_size or "per-row",
         "batches": args.batches,
         "batch_size": args.batch_size,
         "token_agreement_mean": round(float(np.mean(tok_agree)), 4),
