@@ -99,8 +99,19 @@ def cls_criterion_with_counts(sim_mat_static: jnp.ndarray,
     mask = sim_target > 0
     # torch F.binary_cross_entropy clamps the log term at -100 (so a
     # zero probability contributes exactly 100, not inf) — matched here
-    # for differential parity with model.py:348
-    bce = jnp.minimum(-jnp.log(jnp.maximum(gathered, 1e-45)), 100.0)
+    # for differential parity with model.py:348.  The zero-probability
+    # case needs a where-guard, NOT an epsilon floor: the TPU flushes
+    # denormals to zero, so max(p, 1e-45) is a no-op on-chip (1e-45 is
+    # itself a denormal), log(0) = -inf, and the minimum-clip's zero
+    # upstream cotangent multiplies log's 1/0 = inf into NaN — which
+    # the optimizer then writes into every sim-path parameter.  Found
+    # by the round-5 integrated rehearsal (tools/rehearsal.py): class
+    # softmax over an 87+ logit spread underflows to exact zero at the
+    # gathered target, CPU keeps the denormal guard alive, the chip
+    # does not (tests/test_losses.py::test_cls_criterion_zero_prob).
+    zero = gathered <= 0.0
+    safe = jnp.where(zero, 1.0, gathered)
+    bce = jnp.where(zero, 100.0, jnp.minimum(-jnp.log(safe), 100.0))
     return _masked_mean(bce, mask), jnp.sum(mask).astype(jnp.float32)
 
 

@@ -130,6 +130,17 @@ def parse_log(work: str) -> dict:
         for line in f:
             rec = json.loads(line)
             if "time_per_batch" in rec:
+                # a NaN loss anywhere poisons the cumulative epoch
+                # averages — fail the rehearsal loudly (this is how
+                # the round-5 cls-BCE flush-to-zero NaN was caught)
+                bad = [k for k in ("loss", "lm_loss", "att2_loss",
+                                   "ground_loss", "cls_loss")
+                       if k in rec and rec[k] != rec[k]]
+                if bad:
+                    raise SystemExit(
+                        f"NaN training loss {bad} at epoch "
+                        f"{rec['epoch']} step {rec.get('step')} — see "
+                        f"{work}/log.jsonl")
                 per_epoch_tpb[rec["epoch"]] = rec["time_per_batch"]
             if rec.get("split") == "validation":
                 val_stats[rec["epoch"]] = {
@@ -182,6 +193,7 @@ def main():
         driver_argv(paths, work, args.epochs_phase1,
                     smoke=args.smoke, batch=args.batch),
         work, "phase1", smoke=args.smoke)
+    parse_log(work)     # fail fast on NaN before paying for phase 2
     # phase 2: SAME checkpoint_path, higher max_epochs -> exercises the
     # crash/preemption auto-resume path (main.py:175-189), then keeps
     # training and validating
