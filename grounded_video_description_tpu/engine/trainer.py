@@ -340,6 +340,21 @@ class Trainer:
         for batch in loader:
             batch = {k: v for k, v in batch.items()
                      if k not in ("seg_id", "n_valid")}
+            if self.cfg.dtype == "bfloat16":
+                # halve H2D bytes for the two big feature banks (14 ->
+                # 7 MB/segment): the model casts them to cfg.dtype
+                # on-device anyway (models/gvd.py encode), so convert
+                # on the host before the transfer — the integrated
+                # feed is transfer-bound, not gather-bound
+                # (REHEARSAL_r05.json).  Geometry tensors (gt_boxes,
+                # ppls) stay f32: IoU supervision targets depend on
+                # their full precision.
+                import ml_dtypes
+                import numpy as _np
+                for k in ("seg_feat", "ppls_feat"):
+                    v = batch.get(k)
+                    if v is not None and v.dtype == _np.float32:
+                        batch[k] = v.astype(ml_dtypes.bfloat16)
             if self.mesh is not None:
                 from grounded_video_description_tpu.parallel.mesh import (
                     shard_batch)

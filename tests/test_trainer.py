@@ -285,3 +285,46 @@ def test_decode_scan_schedule_is_equivalence_preserving():
         key = jax.tree_util.keystr(pth)
         np.testing.assert_allclose(np.array(flat2[key]), np.array(leaf),
                                    rtol=1e-4, atol=1e-6, err_msg=key)
+
+
+def test_fit_epoch_bf16_host_cast():
+    """With cfg.dtype=bfloat16, fit_epoch converts the two big feature
+    banks to bf16 on the HOST before the device transfer (halving H2D
+    bytes — the integrated feed is transfer-bound, REHEARSAL_r05.json)
+    and the step still trains to finite losses.  Geometry tensors
+    (gt_boxes, ppls) must stay f32 for the IoU supervision targets."""
+    import ml_dtypes
+
+    cfg = tiny_test_config(dtype="bfloat16", learning_rate_decay_start=-1)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+
+    seen = {}
+
+    class NumpyLoader:
+        def __iter__(self):
+            for seed in range(2):
+                b = synthetic_batch(cfg, cfg.batch_size, seed=seed)
+                b = {k: np.asarray(v) for k, v in b.items()
+                     if k != "seg_id"}
+                assert b["seg_feat"].dtype == np.float32
+                yield b
+
+    # spy on the step to capture the device batch dtypes
+    real_make = trainer.make_train_step
+
+    def spy_make(donate=True):
+        fn = real_make(donate=donate)
+
+        def wrapped(params, mstate, opt, batch, rng, lr):
+            seen.update({k: v.dtype for k, v in batch.items()})
+            return fn(params, mstate, opt, batch, rng, lr)
+        return wrapped
+
+    trainer.make_train_step = spy_make
+    state, metrics = trainer.fit_epoch(state, NumpyLoader(), 0)
+    assert np.isfinite(metrics["loss"])
+    assert seen["seg_feat"] == ml_dtypes.bfloat16
+    assert seen["ppls_feat"] == ml_dtypes.bfloat16
+    assert seen["gt_boxes"] == np.float32
+    assert seen["ppls"] == np.float32
