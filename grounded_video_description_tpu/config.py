@@ -226,6 +226,15 @@ class GVDConfig:
     # TFLOP/step) against ~28 GB/step of prob-residual HBM traffic.
     obj_interact_probs_remat: bool = False
     profile_dir: Optional[str] = None   # jax.profiler trace output
+    # Host-readback sync after every train step.  Default off: the
+    # on-device metric aggregation exists precisely to keep dispatch
+    # ahead of the chip (engine/trainer.py fit_epoch).  Turn on when
+    # the transfer client retains h2d staging buffers until forced
+    # completion — the axon tunnel grew ~3.4 GB host RSS per step
+    # (one un-acked batch upload each) until the OOM killer fired in
+    # the round-5 integrated rehearsal; a per-step sync bounds
+    # in-flight uploads to one batch.
+    host_sync_every_step: bool = False
     log_jsonl: Optional[str] = None     # metrics JSONL sink
     tensorboard_dir: Optional[str] = None  # optional TB scalar sink
     async_checkpoint: bool = False      # don't block on Orbax writes

@@ -25,6 +25,19 @@ import optax
 
 from grounded_video_description_tpu.config import GVDConfig
 from grounded_video_description_tpu import losses as L
+
+
+def _resident_gb() -> float:
+    """Host anon+file RSS in GB (diagnostic, logged at disp_interval:
+    catches transfer-client buffer retention like the axon tunnel's —
+    config.host_sync_every_step)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        import os as _os
+        return round(pages * _os.sysconf("SC_PAGE_SIZE") / 2**30, 2)
+    except Exception:
+        return -1.0
 from grounded_video_description_tpu.models.gvd import GVDModel
 
 
@@ -374,13 +387,20 @@ class Trainer:
             state = TrainState(params, mstate, ostate, state.step + 1)
             if prof is not None:
                 prof.maybe_stop(state.step)
+            if self.cfg.host_sync_every_step:
+                # bound in-flight h2d uploads to one batch (see
+                # config.host_sync_every_step) — readback, not
+                # block_until_ready (unreliable on the axon tunnel)
+                import numpy as _np
+                _np.asarray(metrics["loss"])
             n += 1
             agg_dev = metrics if agg_dev is None else jax.tree.map(
                 jnp.add, agg_dev, metrics)
             if log_fn and n % max(self.cfg.disp_interval, 1) == 0:
                 log_fn({"epoch": epoch, "step": state.step, "lr": lr,
                         **{k: float(v) / n for k, v in agg_dev.items()},
-                        "time_per_batch": (time.time() - t0) / n})
+                        "time_per_batch": (time.time() - t0) / n,
+                        "host_rss_gb": _resident_gb()})
         agg = {} if agg_dev is None else \
             {k: float(v) for k, v in agg_dev.items()}
         return state, {k: v / max(n, 1) for k, v in agg.items()}

@@ -87,7 +87,12 @@ def driver_argv(paths: dict, work: str, max_epochs: int,
         argv += ["--batch_size", str(batch), "--grad_accum", "1"]
     else:
         argv += ["--batch_size", str(batch), "--grad_accum", "8",
-                 "--dtype", "bfloat16", "--obj_interact"]
+                 "--dtype", "bfloat16", "--obj_interact",
+                 # the axon tunnel retains un-acked h2d uploads; the
+                 # per-step sync bounds them to one batch (the OOM
+                 # killer ended the first phase-1 attempt at 130 GB
+                 # host RSS — config.host_sync_every_step)
+                 "--host_sync_every_step"]
     argv += [
         "--w_att2", "0.05", "--w_cls", "0.1",
         "--max_epochs", str(max_epochs), "--val_every_epoch", "1",
