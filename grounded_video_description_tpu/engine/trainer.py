@@ -28,14 +28,17 @@ from grounded_video_description_tpu import losses as L
 
 
 def _resident_gb() -> float:
-    """Host anon+file RSS in GB (diagnostic, logged at disp_interval:
+    """Host ANON RSS in GB (diagnostic, logged at disp_interval:
     catches transfer-client buffer retention like the axon tunnel's —
-    config.host_sync_every_step)."""
+    config.host_sync_every_step).  Anon only: total RSS also counts
+    touched memmap pages of the packed cache, which are evictable and
+    not a leak."""
     try:
-        with open("/proc/self/statm") as f:
-            pages = int(f.read().split()[1])
-        import os as _os
-        return round(pages * _os.sysconf("SC_PAGE_SIZE") / 2**30, 2)
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("RssAnon:"):
+                    return round(int(line.split()[1]) / 2**20, 2)
+        return -1.0
     except Exception:
         return -1.0
 from grounded_video_description_tpu.models.gvd import GVDModel
@@ -372,6 +375,14 @@ class Trainer:
                 from grounded_video_description_tpu.parallel.mesh import (
                     shard_batch)
                 batch = shard_batch(self.mesh, batch)
+            else:
+                # explicit upload instead of passing numpy into the
+                # jit call: the host buffers then free with the Python
+                # reference at the next loop iteration, rather than
+                # riding the jit argument path (whose staging the
+                # axon client retains per call — the round-5 rehearsal
+                # leak, config.host_sync_every_step)
+                batch = jax.device_put(batch)
             self.rng, sub = jax.random.split(self.rng)
             if prof is not None:
                 prof.maybe_start(state.step)
