@@ -85,9 +85,13 @@ def main():
     trainer = Trainer(cfg0, model0)
     state = trainer.init_state(params=variables["params"],
                                model_state=variables["state"])
+    # LATEST, not best: the rehearsal's synthetic captions are uniform
+    # over the vocab, so greedy rationally decodes empty sentences and
+    # every CIDEr ties at 0 — "best" would be the least-trained epoch.
+    # The delta wants the sharpest attention margins available.
     state, infos = CheckpointManager(
-        os.path.join(work, "save")).restore(state, load_best=True)
-    print(f"restored best checkpoint (epoch {infos.get('epoch')}, "
+        os.path.join(work, "save")).restore(state, load_best=False)
+    print(f"restored latest checkpoint (epoch {infos.get('epoch')}, "
           f"best CIDEr {infos.get('best_val_score')})", flush=True)
     variables = {"params": state.params, "state": state.model_state}
 
