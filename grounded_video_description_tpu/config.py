@@ -235,6 +235,13 @@ class GVDConfig:
     # the round-5 integrated rehearsal; a per-step sync bounds
     # in-flight uploads to one batch.
     host_sync_every_step: bool = False
+    # Run grounding-metric evals (eval_obj_grounding / _gt) with the
+    # fused encoder kernel OFF: those metrics consume region-attention
+    # argmaxes, where the kernel's bf16 reordering measurably moves
+    # box_accu_att (-13% relative at a trained checkpoint,
+    # GROUNDING_KERNEL_DELTA.json) while caption tokens stay >= 0.99.
+    # Disable to keep the ~10% faster kernel eval regardless.
+    pallas_encoder_grounding_guard: bool = True
     log_jsonl: Optional[str] = None     # metrics JSONL sink
     tensorboard_dir: Optional[str] = None  # optional TB scalar sink
     async_checkpoint: bool = False      # don't block on Orbax writes

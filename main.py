@@ -23,6 +23,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 import numpy as np
 
 
+def grounding_eval_cfg(cfg):
+    """The config the EVALUATOR should run with.
+
+    Grounding metrics consume region-attention ARGMAXES, where the
+    fused encoder kernel's bf16 reordering measurably moves
+    box_accu_att (-13% relative at a trained checkpoint,
+    GROUNDING_KERNEL_DELTA.json) while caption tokens stay above the
+    0.99 promotion bar.  When grounding evals are active, run the
+    eval stack on the pure-XLA encoder; --no-pallas_encoder_grounding_guard
+    restores the ~10% faster kernel eval (docs/DESIGN.md §bf16 kernel
+    promotion policy, round-5 extension).  Returns `cfg` unchanged
+    (identity) when no gating applies."""
+    if (cfg.pallas_encoder_grounding_guard and cfg.use_pallas_encoder
+            and (cfg.eval_obj_grounding or cfg.eval_obj_grounding_gt)):
+        return cfg.replace(use_pallas_encoder=False)
+    return cfg
+
+
 def build_model_and_vocab(cfg):
     import jax
 
@@ -193,7 +211,15 @@ def main(argv=None):
         print(f"resumed from {resume_dir} at epoch "
               f"{infos.get('epoch', 0)}")
 
-    evaluator = Evaluator(cfg, model, vocab, mesh=mesh)
+    eval_cfg = grounding_eval_cfg(cfg)
+    if eval_cfg is not cfg:
+        print("grounding eval active: encoder kernel gated off for "
+              "metric fidelity (pallas_encoder_grounding_guard)")
+        from grounded_video_description_tpu.models import GVDModel
+        eval_model = GVDModel(eval_cfg)
+    else:
+        eval_model = model
+    evaluator = Evaluator(eval_cfg, eval_model, vocab, mesh=mesh)
     best_val = infos.get("best_val_score")
     start_epoch = infos.get("epoch", 0)
     # loss/LR/val histories persisted with the checkpoint

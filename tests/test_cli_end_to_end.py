@@ -150,3 +150,22 @@ def test_cli_inference_only_resume(synth_root, tmp_path):
         "--language_eval", "--id", "citest2",
     ])
     assert cli.main(argv2) == 0
+
+
+def test_grounding_eval_gates_encoder_kernel():
+    """Argmax-consumer guard (GROUNDING_KERNEL_DELTA.json): grounding
+    evals run with the fused encoder kernel off unless the user
+    disables the guard; non-grounding eval keeps the kernel."""
+    from grounded_video_description_tpu.config import GVDConfig
+    from main import grounding_eval_cfg
+
+    base = dict(use_pallas_encoder=True, batch_size=8)
+    on = GVDConfig(eval_obj_grounding=True, **base)
+    assert grounding_eval_cfg(on).use_pallas_encoder is False
+    gt = GVDConfig(eval_obj_grounding_gt=True, **base)
+    assert grounding_eval_cfg(gt).use_pallas_encoder is False
+    off = GVDConfig(**base)
+    assert grounding_eval_cfg(off) is off
+    unguarded = GVDConfig(eval_obj_grounding=True,
+                          pallas_encoder_grounding_guard=False, **base)
+    assert grounding_eval_cfg(unguarded) is unguarded
